@@ -1,0 +1,60 @@
+"""Engine configuration.
+
+Mirrors the *semantics* of the reference connector's config surface
+(``As400ConnectorConfig.java`` — buffer size, max entries per fetch,
+poll interval, include lists, snapshot modes) re-expressed as the
+knobs a Spark engine actually needs: per-trigger entry budget, key
+bucket count, salt factor, checkpoint/target paths.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    """Configuration for one CDC pipeline (journal -> target table).
+
+    Reference analogues (SURVEY.md section citations):
+    - ``max_entries_per_batch`` ~ ``maxServerSideEntries`` (1,000,000
+      default, RetrieveConfig.java:19) — bounds each micro-batch.
+    - ``table_include_list`` ~ Debezium ``table.include.list`` +
+      server-side FILE filter (RetrievalCriteria.java:198-224).
+    - ``delete_mode`` ~ sink consumers' ``delete.handling.mode``
+      (reference README.md:188-192): "drop" removes the row,
+      "rewrite" keeps it with ``__deleted=true``.
+    - ``num_buckets`` — target-table key-hash bucket count; the Spark
+      analogue of partitioning the journal/target for pruned merges.
+    - ``salt_buckets`` — skew salting factor for hot MERGE keys
+      (north rule: explicit skew handling).
+    """
+
+    journal_path: str = ""
+    target_path: str = ""
+    checkpoint_path: str = ""
+    lineage_path: str = ""
+
+    table_include_list: tuple[str, ...] = ("PAGES",)
+    key_column: str = "url"
+
+    # batch planning (T3 ReceiverPagination analogue)
+    max_entries_per_batch: int = 1_000_000
+
+    # target layout / merge strategy
+    num_buckets: int = 32
+    salt_buckets: int = 8
+    delete_mode: str = "drop"  # or "rewrite"
+
+    # streaming
+    poll_interval_ms: int = 2000
+    # journal codes/types accepted (F2: RetrievalCriteria JRNCDE/ENTTYP)
+    journal_codes: tuple[str, ...] = ("R", "C", "D", "J")
+    entry_types: tuple[str, ...] = (
+        "PT", "PX", "UP", "UB", "DL", "DR", "SC", "CM", "CT", "CG",
+    )
+
+    extra: dict = field(default_factory=dict)
+
+    def target_state_path(self) -> str:
+        return f"{self.target_path.rstrip('/')}/state"

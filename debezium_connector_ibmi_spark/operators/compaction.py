@@ -1,0 +1,58 @@
+"""Last-event-per-key compaction (SURVEY.md §2.6 — the engine's
+upsert-materialization core).
+
+Downstream of the reference, consumers fold the ordered I/U/D
+changelog per primary key (last-writer-wins, ``ExtractNewRecordState``
+in the reference README.md:188-192). Here that fold is a ranking
+window: ``row_number() over (partition by key order by
+(receiver_idx, seq) desc) = 1`` — one shuffle, hash-partitioned by
+key, whole-stage codegen, and it makes the subsequent MERGE
+order-free and idempotent (re-applying a batch is a no-op).
+
+Skew (north rule): hot urls concentrate a partition. The salted
+variant splits each key into ``salt_buckets`` sub-groups, compacts
+within each (map-side-friendly first pass), then compacts the small
+survivors per key — the classic two-phase skew-safe top-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ORDER_COLS = ("receiver_idx", "seq")
+
+
+def last_event_per_key(events: DataFrame, key: str = "url") -> DataFrame:
+    """One row per key: the event with the greatest (receiver_idx, seq)."""
+    w = Window.partitionBy(key).orderBy(
+        *[F.col(c).desc() for c in ORDER_COLS]
+    )
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def salted_last_event_per_key(
+    events: DataFrame, key: str = "url", salt_buckets: int = 8
+) -> DataFrame:
+    """Two-phase skew-safe compaction.
+
+    Phase 1 partitions by (key, salt) — a hot key's millions of
+    events spread over ``salt_buckets`` reducers, each keeping one
+    survivor. Phase 2 compacts the <= salt_buckets survivors per key.
+    Deterministic salt (hash of the ordering key) keeps replays
+    byte-identical.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in ORDER_COLS]), F.lit(salt_buckets))
+    w1 = Window.partitionBy(F.col(key), F.lit(0) + salt).orderBy(
+        *[F.col(c).desc() for c in ORDER_COLS]
+    )
+    survivors = (
+        events.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return last_event_per_key(survivors, key)

@@ -1,0 +1,76 @@
+"""End-to-end batch dataflow: journal -> decoded change events ->
+compacted current state.
+
+This is the Spark re-expression of the reference's hot path
+(``As400StreamingChangeEventSource.execute`` -> decode -> dispatch,
+SURVEY.md §3.2): declarative filters (pushed to the scan), a
+codegen'd op-type map, window-based UB/UP pairing, ONE vectorized
+decode UDF, and a skew-salted last-per-key compaction.
+
+Plan-shape invariants (checked in tests via ``.explain``):
+- table/code/type filters appear in ``PushedFilters`` of the scan;
+- the decode UDF runs AFTER compaction in ``current_state`` (decode
+  cost scales with distinct keys, not event count);
+- exactly one shuffle for compaction (hash by key), one for pairing
+  (hash by key) — Catalyst reuses the exchange when partitioning
+  matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from debezium_connector_ibmi_spark.config import EngineConfig
+from debezium_connector_ibmi_spark.functions.decode import extract_text_udf
+from debezium_connector_ibmi_spark.functions.optype import op_type_col
+from debezium_connector_ibmi_spark.operators.compaction import (
+    salted_last_event_per_key,
+)
+from debezium_connector_ibmi_spark.operators.filters import apply_standard_filters
+from debezium_connector_ibmi_spark.operators.pairing import pair_before_after
+
+STATE_COLUMNS = ("url", "warc_ts", "html", "text", "lang")
+
+
+def decoded_events(journal: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Filtered, op-mapped, UB/UP-paired data events (c/u/d rows).
+
+    Does NOT run the text-extraction UDF — callers that materialize
+    state decode after compaction; callers that need per-event text
+    add it explicitly (``with_text``).
+    """
+    f = apply_standard_filters(journal, cfg)
+    f = f.withColumn("op", op_type_col())
+    data = f.filter(F.col("op").isin("c", "u", "d", "b"))
+    return pair_before_after(data)
+
+
+def with_text(events: DataFrame) -> DataFrame:
+    """Attach extracted text (the C3 decode) to after-images."""
+    return events.withColumn("text", extract_text_udf(F.col("html")))
+
+
+def compact_batch(events: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Last-writer-wins per key over a (micro-)batch, skew-salted."""
+    return salted_last_event_per_key(events, cfg.key_column, cfg.salt_buckets)
+
+
+def current_state(journal: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Full-replay materialization: the final table the reference's
+    downstream would hold after consuming the whole changelog.
+
+    Decode runs on the compacted survivors only — at 10^10 events
+    over 10^8 urls that is a 100x reduction in UDF work.
+    """
+    events = decoded_events(journal, cfg)
+    last = compact_batch(events, cfg)
+    if cfg.delete_mode == "drop":
+        state = last.filter(F.col("op") != "d")
+    else:
+        state = last.withColumn("__deleted", F.col("op") == "d")
+    state = with_text(state)
+    cols = list(STATE_COLUMNS) + (
+        ["__deleted"] if cfg.delete_mode == "rewrite" else []
+    )
+    return state.select(*cols)

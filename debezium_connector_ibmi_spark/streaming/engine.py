@@ -1,0 +1,178 @@
+"""The CDC engine loop: journal tail -> decode -> compact -> MERGE.
+
+Two execution modes over the same per-batch dataflow:
+
+1. ``JournalTailer`` — planner-driven micro-batches (the direct
+   analogue of the reference's poll loop,
+   ``As400StreamingChangeEventSource.execute``
+   As400StreamingChangeEventSource.java:104-159 + the
+   ReceiverPagination range planning): each iteration plans a
+   bounded (receiver_idx, seq) range from the sink's committed
+   watermark, processes it, and commits watermark + lineage + data
+   in one fence. Resumable from any point because the *sink commit*
+   is the only state.
+
+2. ``run_structured_stream`` — Spark Structured Streaming file
+   source + ``foreachBatch`` into the same sink; Spark's checkpoint
+   tracks source progress, the sink's batch-id fence upgrades the
+   sink side to exactly-once.
+
+Per-batch throughput/lag metrics are recorded in the commit's
+``partitions`` list (FIXTURES.md §3 lineage schema).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_connector_ibmi_spark.config import EngineConfig
+from debezium_connector_ibmi_spark.pipeline import (
+    STATE_COLUMNS,
+    compact_batch,
+    decoded_events,
+    with_text,
+)
+from debezium_connector_ibmi_spark.plans.range_planner import (
+    Position,
+    PositionRange,
+    plan_next_range,
+    receiver_lineage,
+)
+from debezium_connector_ibmi_spark.sinks.merge import KeyBucketedTarget
+from debezium_connector_ibmi_spark.sources.journal_source import read_journal
+
+
+def _merge_columns() -> list[str]:
+    return list(STATE_COLUMNS) + ["receiver_idx", "seq", "op"]
+
+
+def prepare_batch(journal_slice: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """filter -> op-map -> pair -> compact -> decode survivors."""
+    events = decoded_events(journal_slice, cfg)
+    last = compact_batch(events, cfg)
+    return with_text(last).select(*_merge_columns())
+
+
+class JournalTailer:
+    def __init__(self, spark: SparkSession, cfg: EngineConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.target = KeyBucketedTarget(
+            spark,
+            cfg.target_path,
+            key=cfg.key_column,
+            num_buckets=cfg.num_buckets,
+            delete_mode=cfg.delete_mode,
+        )
+
+    # -- one micro-batch ------------------------------------------------
+
+    def process_range(
+        self, journal: DataFrame, rng: PositionRange, batch_id: int
+    ) -> dict:
+        t0 = time.time()
+        sliced = journal.filter(rng.predicate())
+        batch = prepare_batch(sliced, self.cfg)
+        # per-partition lineage/metrics: high-watermark + events seen
+        part_rows = [
+            {
+                "receiver_idx": int(r["receiver_idx"]),
+                "seq": int(r["seq"]),
+                "events_applied": int(r["n"]),
+                "processed": True,
+            }
+            for r in sliced.groupBy("receiver_idx")
+            .agg(F.max("seq").alias("seq"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        n_events = sum(p["events_applied"] for p in part_rows)
+        stats = self.target.merge(
+            batch,
+            batch_id=batch_id,
+            watermark=(rng.end.receiver_idx, rng.end.seq),
+            partitions=part_rows,
+        )
+        stats.update(
+            {
+                "events": n_events,
+                "secs": time.time() - t0,
+                "range": (
+                    (rng.start.receiver_idx, rng.start.seq),
+                    (rng.end.receiver_idx, rng.end.seq),
+                ),
+            }
+        )
+        return stats
+
+    # -- the poll loop ---------------------------------------------------
+
+    def run_to_head(self, max_batches: int | None = None) -> list[dict]:
+        """Tail the journal until caught up (Trigger.AvailableNow
+        analogue). Each batch is planned from the sink's committed
+        watermark, so killing the process anywhere and rerunning
+        resumes correctly."""
+        journal = read_journal(self.spark, self.cfg.journal_path)
+        chain = receiver_lineage(journal)
+        out = []
+        while max_batches is None or len(out) < max_batches:
+            ridx, seq = self.target.watermark()
+            rng = plan_next_range(
+                chain,
+                Position(ridx, seq, processed=True),
+                self.cfg.max_entries_per_batch,
+            )
+            if rng is None:
+                break
+            batch_id = self.target.last_batch_id() + 1
+            out.append(self.process_range(journal, rng, batch_id))
+        return out
+
+
+def run_structured_stream(
+    spark: SparkSession, cfg: EngineConfig, available_now: bool = True
+):
+    """Structured Streaming variant: file-source micro-batches into
+    the same exactly-once sink via foreachBatch.
+
+    Note: the file source does not guarantee (receiver_idx, seq)
+    order across batches; the sink's position-aware merge keeps the
+    result order-correct anyway (greater position wins), and
+    delete-correctness under disorder requires delete_mode="rewrite"
+    (tombstones carry positions).
+    """
+    from debezium_connector_ibmi_spark.sources.journal_source import (
+        read_journal_stream,
+    )
+
+    target = KeyBucketedTarget(
+        spark,
+        cfg.target_path,
+        key=cfg.key_column,
+        num_buckets=cfg.num_buckets,
+        delete_mode=cfg.delete_mode,
+    )
+
+    def apply_batch(df: DataFrame, epoch_id: int):
+        batch = prepare_batch(df, cfg)
+        wm = df.agg(
+            F.max(F.struct(F.col("receiver_idx"), F.col("seq"))).alias("w")
+        ).collect()[0]["w"]
+        target.merge(
+            batch,
+            batch_id=epoch_id,
+            watermark=(wm["receiver_idx"], wm["seq"]) if wm else None,
+        )
+
+    stream = read_journal_stream(spark, cfg.journal_path)
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", cfg.checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{cfg.poll_interval_ms} milliseconds")
+    return writer.start()
