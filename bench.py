@@ -1,0 +1,117 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the
+end-to-end CDC apply path (journal-tail -> merge) on a synthetic
+journal sized by $SPARK_GRAFT_BENCH_OPS (default 300k change events).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "cdc_events_per_sec": N, "cpus": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_OPS = int(os.environ.get("SPARK_GRAFT_BENCH_OPS", "300000"))
+
+HEADLINE = [
+    "cdc_changelog_materialize",
+    "cdc_last_per_key_salted",
+    "cdc_envelope_flat",
+    "cdc_txn_group",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "doc_minhash_signature",
+    "doc_lsh_near_dup_pairs",
+    "doc_simhash",
+    "doc_ngram_jaccard_pairs",
+    "emb_knn_brute_force",
+    "emb_ann_lsh_bucket",
+]
+
+
+def main():
+    from debezium_connector_ibmi_spark.config import EngineConfig
+    from debezium_connector_ibmi_spark.datagen.journal import (
+        JournalGenConfig,
+        write_journal,
+    )
+    from debezium_connector_ibmi_spark.queries import all_queries
+    from debezium_connector_ibmi_spark.session import get_spark
+    from debezium_connector_ibmi_spark.streaming.engine import JournalTailer
+
+    spark = get_spark(
+        app_name="ibmi-cdc-bench", cores=CPUS, shuffle_partitions=CPUS
+    )
+
+    qs = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()  # materialize the full result
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    # --- end-to-end CDC apply (the north-rule metric) -------------------
+    work = tempfile.mkdtemp(prefix="ibmi_bench_")
+    try:
+        gen = JournalGenConfig(
+            n_urls=max(1000, BENCH_OPS // 20),
+            n_ops=BENCH_OPS,
+            txn_size=500,
+            receiver_rotation=BENCH_OPS // 8 or 1,
+            skew=2.0,
+        )
+        write_journal(spark, gen, f"{work}/journal", num_files=CPUS * 2)
+        cfg = EngineConfig(
+            journal_path=f"{work}/journal",
+            target_path=f"{work}/target",
+            max_entries_per_batch=(BENCH_OPS * 6) // 4 + 1,
+            num_buckets=CPUS,
+            salt_buckets=8,
+        )
+        tailer = JournalTailer(spark, cfg)
+        t0 = time.time()
+        stats = tailer.run_to_head()
+        apply_sec = time.time() - t0
+        n_events = sum(s.get("events", 0) for s in stats)
+        timings["cdc_apply_e2e"] = round(apply_sec, 3)
+        events_per_sec = round(n_events / apply_sec, 1) if apply_sec else 0.0
+        print(
+            f"# cdc_apply_e2e: {apply_sec:.1f}s, {n_events} entries,"
+            f" {events_per_sec}/s",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline queries + cdc apply e2e, total wall sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "cdc_events_applied": n_events,
+                "cdc_events_per_sec": events_per_sec,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

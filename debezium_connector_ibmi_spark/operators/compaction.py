@@ -23,10 +23,12 @@ from pyspark.sql import functions as F
 ORDER_COLS = ("receiver_idx", "seq")
 
 
-def last_event_per_key(events: DataFrame, key: str = "url") -> DataFrame:
-    """One row per key: the event with the greatest (receiver_idx, seq)."""
+def last_event_per_key(
+    events: DataFrame, key: str = "url", order_cols: tuple[str, ...] = ORDER_COLS
+) -> DataFrame:
+    """One row per key: the event with the greatest ``order_cols``."""
     w = Window.partitionBy(key).orderBy(
-        *[F.col(c).desc() for c in ORDER_COLS]
+        *[F.col(c).desc() for c in order_cols]
     )
     return (
         events.withColumn("__rn", F.row_number().over(w))
@@ -36,7 +38,10 @@ def last_event_per_key(events: DataFrame, key: str = "url") -> DataFrame:
 
 
 def salted_last_event_per_key(
-    events: DataFrame, key: str = "url", salt_buckets: int = 8
+    events: DataFrame,
+    key: str = "url",
+    salt_buckets: int = 8,
+    order_cols: tuple[str, ...] = ORDER_COLS,
 ) -> DataFrame:
     """Two-phase skew-safe compaction.
 
@@ -46,13 +51,13 @@ def salted_last_event_per_key(
     Deterministic salt (hash of the ordering key) keeps replays
     byte-identical.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in ORDER_COLS]), F.lit(salt_buckets))
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets))
     w1 = Window.partitionBy(F.col(key), F.lit(0) + salt).orderBy(
-        *[F.col(c).desc() for c in ORDER_COLS]
+        *[F.col(c).desc() for c in order_cols]
     )
     survivors = (
         events.withColumn("__rn", F.row_number().over(w1))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    return last_event_per_key(survivors, key)
+    return last_event_per_key(survivors, key, order_cols)

@@ -141,17 +141,19 @@ class KeyBucketedTarget:
             .partitionBy("bucket")
             .parquet(f"{self.path}/data/v={version}")
         )
+        # written buckets = the partition directories the write created
+        # (metadata listing, no Spark job — Iceberg would read this
+        # from the commit manifest)
+        vdir = f"{self.path}/data/v={version}"
         try:
             seen = [
-                int(r["bucket"])
-                for r in self.spark.read.parquet(f"{self.path}/data/v={version}")
-                .select("bucket")
-                .distinct()
-                .collect()
+                int(d.split("=", 1)[1])
+                for d in os.listdir(vdir)
+                if d.startswith("bucket=")
             ]
-        except Exception:  # empty write (delete-only batch): no files
+        except FileNotFoundError:  # empty write (delete-only batch)
             seen = []
-        return seen
+        return sorted(seen)
 
     def init_snapshot(self, snapshot: DataFrame, watermark: tuple[int, int]) -> None:
         """T10: initial load; the journal watermark is recorded BEFORE

@@ -75,7 +75,10 @@ class JournalTailer:
     ) -> dict:
         t0 = time.time()
         sliced = journal.filter(rng.predicate())
-        batch = prepare_batch(sliced, self.cfg)
+        # persist: the sink takes 2 actions over the batch (bucket
+        # discovery + merge write); without this the whole decode
+        # pipeline would re-execute per action
+        batch = prepare_batch(sliced, self.cfg).persist()
         # per-partition lineage/metrics: high-watermark + events seen
         part_rows = [
             {
@@ -95,6 +98,7 @@ class JournalTailer:
             watermark=(rng.end.receiver_idx, rng.end.seq),
             partitions=part_rows,
         )
+        batch.unpersist()
         stats.update(
             {
                 "events": n_events,
