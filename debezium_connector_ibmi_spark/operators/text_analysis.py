@@ -1,0 +1,205 @@
+"""First-class text-analysis / dedup operators for webtext pipelines.
+
+All pure Catalyst column expressions (split/transform/filter/
+aggregate/md5 higher-order functions) — JVM-side, codegen'd, no
+Python in the hot path. Reused by the driver-contract queries
+(queries/textops.py) and applicable to any DataFrame with a text
+column (e.g. the CDC target table at 100 TB).
+
+Design notes for scale:
+- MinHash/SimHash signatures are embarrassingly parallel projections
+  (no shuffle); only the LSH band join shuffles, and it shuffles the
+  melted (id, band_idx, band) table — bands_per_doc rows per doc, not
+  the documents.
+- Jaccard verification joins on shingles: pre-`distinct` per doc
+  bounds the join input; at 100 TB you'd band first (LSH) and verify
+  jaccard only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
+)
+
+
+def words_col(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str = "text") -> Column:
+    """Whitespace token count (BPE-ish regex variant: split on
+    \\W+ boundaries would double tokens with punctuation; the corpus
+    here is space-normalized so a single-space split is exact)."""
+    return F.size(words_col(text))
+
+
+def stopword_count(
+    text: Column | str = "text", stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
+) -> Column:
+    return F.size(F.filter(words_col(text), lambda w: w.isin(*stopwords)))
+
+
+def quality_columns(text: Column | str = "text") -> dict[str, Column]:
+    """Length / token / stopword quality signals (integer-exact)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c)
+    return {
+        "n_chars": F.length(c),
+        "n_tokens": n_tok,
+        "n_stopwords": stopword_count(c),
+        "avg_token_len_x100": ((F.length(c) - (n_tok - 1)) * 100),
+    }
+
+
+def lang_guess(
+    text: Column | str = "text",
+    profiles: dict[str, tuple[str, ...]] | None = None,
+) -> Column:
+    """Stopword-profile language ID: argmax of profile hits."""
+    profiles = profiles or {
+        "en": DEFAULT_STOPWORDS,
+        "de": ("der", "die", "das", "und", "ist"),
+    }
+    w = words_col(text)
+    hits = {
+        lang: F.size(F.filter(w, lambda x: x.isin(*sw)))
+        for lang, sw in profiles.items()
+    }
+    expr = None
+    langs = list(hits)
+    for lang in langs:
+        others = [hits[o] for o in langs if o != lang]
+        cond = None
+        for o in others:
+            c = hits[lang] > o
+            cond = c if cond is None else (cond & c)
+        expr = (
+            F.when(cond, F.lit(lang))
+            if expr is None
+            else expr.when(cond, F.lit(lang))
+        )
+    return expr.otherwise(F.lit("unknown"))
+
+
+def fingerprint(text: Column | str = "text") -> Column:
+    """Whole-document fingerprint (md5 — stable across engines)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def shingles(text: Column | str = "text", n: int = 3) -> Column:
+    """n-word shingles as array<string> (space-joined)."""
+    w = words_col(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+    )
+
+
+def minhash_columns(
+    text: Column | str = "text", seeds: tuple[str, ...] = ("s0", "s1", "s2", "s3"),
+    n: int = 3,
+) -> dict[str, Column]:
+    """MinHash signature: min(md5(seed||shingle)) per seed."""
+    sh = shingles(text, n)
+    return {
+        f"minhash_{i}": F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(seed), s)))
+        )
+        for i, seed in enumerate(seeds)
+    }
+
+
+def simhash16(text: Column | str = "text") -> Column:
+    """16-bit SimHash; bit i = majority of md5-hex-char-i high bit
+    over tokens (portable across engines — no platform hash)."""
+    w = words_col(text)
+    n = F.size(w)
+    total = F.lit(0)
+    for i in range(1, 17):
+        cnt = F.size(
+            F.filter(w, lambda x: F.substring(F.md5(x), i, 1) >= "8")
+        )
+        total = total + F.when(cnt * 2 > n, F.lit(1 << (i - 1))).otherwise(F.lit(0))
+    return total.cast("long")
+
+
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one keeper (min id) per distinct text hash."""
+    return df.groupBy(fingerprint(text).alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text",
+    seeds: tuple[str, ...] = ("s0", "s1", "s2", "s3"), n: int = 3,
+) -> DataFrame:
+    """Banded-LSH near-dup candidates: melt signature -> single
+    self-join on (band_idx, band)."""
+    sig_cols = minhash_columns(text, seeds, n)
+    sig = df.filter(F.size(words_col(text)) >= n).select(
+        F.col(id_col), *[c.alias(k) for k, c in sig_cols.items()]
+    )
+    melted = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.col(f"minhash_{i}").alias("band"),
+                    )
+                    for i in range(len(seeds))
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band_idx", "b.band")
+    a = melted.select(F.col(id_col).alias("id_a"), "band_idx", "band")
+    b = melted.select(F.col(id_col).alias("id_b"), "band_idx", "band")
+    return (
+        a.join(b, ["band_idx", "band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs with an integer-exact threshold
+    (jaccard >= num/den)."""
+    d = df.filter(F.size(words_col(text)) >= n)
+    sh = d.select(F.col(id_col), F.explode(shingles(text, n)).alias("shingle")).distinct()
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(
+            threshold_den * F.col("inter")
+            >= threshold_num * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .select("id_a", "id_b", "inter", "na", "nb")
+    )

@@ -1,124 +1,80 @@
-"""Training-data text operators over the ``documents`` table —
-dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard), language-ID,
-quality scoring, token counting, fingerprinting.
-
-These are first-class engine ops for the 100 TB webtext use case.
-Everything below is pure built-in Catalyst expressions (split /
-transform / aggregate / md5 higher-order funcs) — no Python UDFs —
-so the hot path stays in whole-stage codegen, and each has an exact
-DuckDB oracle (md5 and string ops are portable; jaccard thresholds
-use integer arithmetic to avoid float divergence).
+"""Driver-contract text queries over ``documents`` — thin bindings of
+the first-class operators in ``operators/text_analysis.py`` (exact
+dedup, MinHash+LSH, SimHash, n-gram Jaccard, language-ID, quality,
+token counting, fingerprinting), each with an exact DuckDB oracle
+(md5/string ops are portable; thresholds use integer arithmetic so
+the value-hash can't diverge on floats).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from debezium_connector_ibmi_spark.operators import text_analysis as ta
+
 
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _words():
-    return F.split(F.col("text"), " ")
-
-_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+_STOPWORDS = ta.DEFAULT_STOPWORDS
 _SW_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
-
-
-# --- token counting -----------------------------------------------------
-def doc_token_count(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(_words()).alias("n_tokens"),
-        F.length("text").alias("n_chars_actual"),
-    )
-
-
-# --- quality scoring ------------------------------------------------------
-def doc_quality_score(spark, sf_dir):
-    d = _docs(spark, sf_dir).withColumn("words", _words())
-    n_tok = F.size("words")
-    sw = F.size(
-        F.filter(F.col("words"), lambda w: w.isin(*_STOPWORDS))
-    )
-    return d.select(
-        "doc_id",
-        F.length("text").alias("n_chars_actual"),
-        n_tok.alias("n_tokens"),
-        sw.alias("n_stopwords"),
-        # integer-scaled ratios: exact across engines
-        (sw * 1000).cast("long").alias("sw_scaled"),
-        ((F.length("text") - (n_tok - 1)) * 100).cast("long").alias(
-            "charlen_scaled"
-        ),
-    )
-
-
-# --- language-ID (n-gram / stopword heuristic) ------------------------------
-def doc_lang_id(spark, sf_dir):
-    d = _docs(spark, sf_dir).withColumn("words", _words())
-    en_hits = F.size(F.filter(F.col("words"), lambda w: w.isin(*_STOPWORDS)))
-    de_hits = F.size(
-        F.filter(F.col("words"), lambda w: w.isin("der", "die", "das", "und", "ist"))
-    )
-    return d.select(
-        "doc_id",
-        "lang",
-        en_hits.alias("en_hits"),
-        de_hits.alias("de_hits"),
-        F.when(en_hits > de_hits, "en")
-        .when(de_hits > en_hits, "de")
-        .otherwise("unknown")
-        .alias("lang_guess"),
-    )
-
-
-# --- fingerprinting -----------------------------------------------------------
-def doc_fingerprint(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.md5(F.col("text")).alias("fp"),
-        F.length("text").alias("fp_len"),
-    )
-
-
-# --- exact dedup (hash-groupBy) -------------------------------------------------
-def doc_dedup_exact(spark, sf_dir):
-    return (
-        _docs(spark, sf_dir)
-        .groupBy(F.md5(F.col("text")).alias("fp"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("keeper_doc_id"),
-        )
-    )
-
-
-# --- MinHash signatures (shingle -> min(md5(seed||shingle))) ---------------------
 _N_SHINGLE = 3
 _SEEDS = ("s0", "s1", "s2", "s3")
 
 
-def _shingles_col():
-    """3-word shingles as an array<string> (space-joined)."""
-    w = _words()
-    return F.transform(
-        F.sequence(F.lit(0), F.size(w) - _N_SHINGLE),
-        lambda i: F.array_join(F.slice(w, i + 1, _N_SHINGLE), " "),
+def doc_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ta.token_count().alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def doc_quality_score(spark, sf_dir):
+    q = ta.quality_columns()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        q["n_chars"].alias("n_chars_actual"),
+        q["n_tokens"].alias("n_tokens"),
+        q["n_stopwords"].alias("n_stopwords"),
+        (q["n_stopwords"] * 1000).cast("long").alias("sw_scaled"),
+        q["avg_token_len_x100"].cast("long").alias("charlen_scaled"),
+    )
+
+
+def doc_lang_id(spark, sf_dir):
+    de = ("der", "die", "das", "und", "ist")
+    w = ta.words_col()
+    en_hits = F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS)))
+    de_hits = F.size(F.filter(w, lambda x: x.isin(*de)))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        en_hits.alias("en_hits"),
+        de_hits.alias("de_hits"),
+        ta.lang_guess(profiles={"en": _STOPWORDS, "de": de}).alias("lang_guess"),
+    )
+
+
+def doc_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ta.fingerprint().alias("fp"),
+        F.length("text").alias("fp_len"),
+    )
+
+
+def doc_dedup_exact(spark, sf_dir):
+    return ta.exact_dedup(_docs(spark, sf_dir)).withColumnRenamed(
+        "keeper", "keeper_doc_id"
     )
 
 
 def doc_minhash_signature(spark, sf_dir):
-    d = _docs(spark, sf_dir).filter(F.size(_words()) >= _N_SHINGLE)
-    d = d.withColumn("sh", _shingles_col())
-    cols = [
-        F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(seed), s)))
-        ).alias(f"minhash_{i}")
-        for i, seed in enumerate(_SEEDS)
-    ]
-    return d.select("doc_id", *cols)
+    d = _docs(spark, sf_dir).filter(F.size(ta.words_col()) >= _N_SHINGLE)
+    cols = ta.minhash_columns(seeds=_SEEDS, n=_N_SHINGLE)
+    return d.select("doc_id", *[c.alias(k) for k, c in cols.items()])
 
 
 _MINHASH_SQL = """
@@ -133,8 +89,7 @@ _MINHASH_SQL = """
         SELECT doc_id,
                word || ' ' || lead(word, 1) OVER win || ' ' ||
                lead(word, 2) OVER win AS shingle,
-               p, (SELECT 1) AS dummy,
-               count(*) OVER (PARTITION BY doc_id) AS n_words
+               p, count(*) OVER (PARTITION BY doc_id) AS n_words
         FROM pos
         WINDOW win AS (PARTITION BY doc_id ORDER BY p)
         QUALIFY p <= n_words - 2
@@ -148,58 +103,18 @@ _MINHASH_SQL = """
 """
 
 
-# --- MinHash LSH near-dup candidate pairs (band join) -----------------------------
 def doc_lsh_near_dup_pairs(spark, sf_dir):
-    """Banded LSH: melt the signature to (doc_id, band_idx, band) and
-    self-join ONCE on (band_idx, band) — the signature (the expensive
-    shingle/minhash pass) is computed a single time, vs. 2x per band
-    with per-band joins. Bucket join shuffles only the 4-row-per-doc
-    melted table, never the documents."""
-    sig = doc_minhash_signature(spark, sf_dir)
-    melted = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.col(f"minhash_{i}").alias("band"),
-                    )
-                    for i in range(len(_SEEDS))
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_idx", "b.band")
-    a = melted.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band"
-    )
-    b = melted.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band"
-    )
     return (
-        a.join(b, ["band_idx", "band"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        ta.lsh_candidate_pairs(
+            _docs(spark, sf_dir), id_col="doc_id", seeds=_SEEDS, n=_N_SHINGLE
+        )
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
     )
 
 
-# --- SimHash (16-bit, md5-hex-char bits, per-bit majority) --------------------------
 def doc_simhash(spark, sf_dir):
-    d = _docs(spark, sf_dir).withColumn("words", _words())
-    n = F.size("words")
-    bits = []
-    for i in range(1, 17):
-        cnt = F.size(
-            F.filter(
-                F.col("words"), lambda w: F.substring(F.md5(w), i, 1) >= "8"
-            )
-        )
-        bits.append(F.when(cnt * 2 > n, F.lit(1 << (i - 1))).otherwise(F.lit(0)))
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
-    return d.select("doc_id", total.cast("long").alias("simhash"))
+    return _docs(spark, sf_dir).select("doc_id", ta.simhash16().alias("simhash"))
 
 
 _SIMHASH_SQL = (
@@ -214,31 +129,18 @@ _SIMHASH_SQL = (
 )
 
 
-# --- n-gram Jaccard near-dup pairs (shingle join, integer threshold) -----------------
 def doc_ngram_jaccard_pairs(spark, sf_dir):
-    d = _docs(spark, sf_dir).filter(F.size(_words()) >= _N_SHINGLE)
-    sh = (
-        d.select("doc_id", F.explode(_shingles_col()).alias("shingle"))
-        .distinct()
-    )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    return (
+        ta.jaccard_pairs(
+            _docs(spark, sf_dir),
+            id_col="doc_id",
+            n=_N_SHINGLE,
+            threshold_num=3,
+            threshold_den=10,
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    j = inter.join(ca, "doc_a").join(cb, "doc_b")
-    # jaccard >= 0.3 via integer arithmetic: 10*inter >= 3*(na+nb-inter)
-    return j.filter(
-        10 * F.col("inter") >= 3 * (F.col("na") + F.col("nb") - F.col("inter"))
-    ).select("doc_a", "doc_b", "inter", "na", "nb")
 
 
 _JACCARD_SQL = """

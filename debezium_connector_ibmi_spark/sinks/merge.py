@@ -80,6 +80,103 @@ class KeyBucketedTarget:
         c = self.last_commit()
         return -1 if c is None else int(c.get("batch_id", -1))
 
+    def schema_version(self) -> int:
+        """Highest applied schema-evolution version (T12 fence)."""
+        c = self.last_commit()
+        return -1 if c is None else int(c.get("schema_version", -1))
+
+    def declared_schema(self) -> list[list[str]] | None:
+        """Declared table schema [[name, sparkTypeString], ...] — the
+        commit-metadata schema (Iceberg's table schema analogue).
+        None until the first merge or schema update declares it."""
+        c = self.last_commit()
+        return None if c is None else c.get("schema")
+
+    def _schema_df(self):
+        """Empty DataFrame with the declared schema (for applying
+        schema transforms when the table has no data)."""
+        decl = self.declared_schema()
+        ddl = ", ".join(f"{n} {t}" for n, t in decl)
+        return self.spark.createDataFrame([], ddl)
+
+    def _conform(self, df: DataFrame, decl: list[list[str]]) -> DataFrame:
+        """Make ``df`` match the declared schema: add missing declared
+        columns as null casts, project in declared order (extra
+        undeclared columns are dropped)."""
+        cols = []
+        have = {c.lower() for c in df.columns}
+        for name, dtype in decl:
+            if name.lower() in have:
+                cols.append(F.col(name))
+            else:
+                cols.append(F.lit(None).cast(dtype).alias(name))
+        return df.select(*cols)
+
+    def declare_schema(self, schema: list[list[str]]) -> None:
+        """Declare the table schema without writing data (CREATE
+        TABLE analogue). No-op if a schema is already declared."""
+        if self.declared_schema() is not None:
+            return
+        last = self.last_commit() or {
+            "version": -1,
+            "batch_id": -1,
+            "buckets": {},
+            "watermark": None,
+            "partitions": [],
+            "schema_version": -1,
+        }
+        commit = {
+            **last,
+            "version": self._latest_version() + 1,
+            "ts": time.time(),
+            "kind": "declare",
+            "schema": [list(x) for x in schema],
+        }
+        self._write_commit(commit)
+
+    def update_schema(self, transform, version: int) -> None:
+        """Apply a schema change (T12, the Iceberg ALTER TABLE
+        analogue): transform the declared schema (and rewrite data if
+        any), commit with the new ``schema_version``. Idempotent via
+        the version fence; on an empty/undeclared table the change is
+        recorded in metadata and realized by ``_conform`` at the next
+        merge."""
+        if version <= self.schema_version():
+            return
+        last = self.last_commit() or {
+            "version": -1,
+            "batch_id": -1,
+            "buckets": {},
+            "watermark": None,
+            "partitions": [],
+        }
+        new_version = self._latest_version() + 1
+        decl = self.declared_schema()
+        has_data = bool(last.get("buckets"))
+        if decl is None and not has_data:
+            raise ValueError(
+                "cannot evolve an undeclared empty table — call "
+                "declare_schema() first (the tailer does this)"
+            )
+        if has_data:
+            current = self.read().drop("bucket")
+        else:
+            current = self._schema_df()
+        new_state = transform(current)
+        new_decl = [[f.name, f.dataType.simpleString()] for f in new_state.schema.fields]
+        commit = {
+            **last,
+            "version": new_version,
+            "ts": time.time(),
+            "kind": "schema_change",
+            "schema_version": version,
+            "schema": new_decl,
+        }
+        if has_data:
+            written = self._write_buckets(new_state, new_version)
+            commit["buckets"] = {str(b): new_version for b in written}
+        self._write_commit(commit)
+
     def watermark(self) -> tuple[int, int]:
         """(receiver_idx, seq) high-watermark of applied changes."""
         c = self.last_commit()
@@ -170,6 +267,7 @@ class KeyBucketedTarget:
                 "partitions": [],
                 "ts": time.time(),
                 "kind": "snapshot",
+                "schema_version": -1,
             }
         )
 
@@ -246,6 +344,16 @@ class KeyBucketedTarget:
         else:
             new_rows = winner.withColumn("__deleted", F.col("op") == "d").drop("op")
 
+        # conform to the declared (evolved) table schema: added
+        # columns persist as nulls, dropped columns stay dropped
+        decl = self.declared_schema()
+        if decl is not None:
+            new_rows = self._conform(new_rows, decl)
+        else:
+            decl = [
+                [f.name, f.dataType.simpleString()] for f in new_rows.schema.fields
+            ]
+
         written = self._write_buckets(new_rows, version)
         for b in written:
             bucket_map[str(b)] = version
@@ -263,6 +371,8 @@ class KeyBucketedTarget:
             "partitions": partitions or [],
             "ts": time.time(),
             "kind": "merge",
+            "schema_version": (last or {}).get("schema_version", -1),
+            "schema": decl,
         }
         self._write_commit(commit)
         return {

@@ -57,9 +57,10 @@ def prepare_batch(journal_slice: DataFrame, cfg: EngineConfig) -> DataFrame:
 
 
 class JournalTailer:
-    def __init__(self, spark: SparkSession, cfg: EngineConfig):
+    def __init__(self, spark: SparkSession, cfg: EngineConfig, evolution=None):
         self.spark = spark
         self.cfg = cfg
+        self.evolution = evolution  # EvolutionSpec or None
         self.target = KeyBucketedTarget(
             spark,
             cfg.target_path,
@@ -68,6 +69,52 @@ class JournalTailer:
             delete_mode=cfg.delete_mode,
         )
 
+    def _apply_schema_changes(self, sliced: DataFrame) -> list[int]:
+        """T12: D.CG/D.CT entries in the batch range -> ordered,
+        exactly-once schema updates on the target (the Debezium
+        schema-history replay). Applied before the batch's data merge
+        — added columns default to null for rows already in flight,
+        matching the reference's refetch-then-continue behavior."""
+        if self.evolution is None:
+            return []
+        from debezium_connector_ibmi_spark.streaming.schema_evolution import (
+            EvolutionSpec,
+            apply_schema_events,
+        )
+
+        # declare the base state schema so evolutions can apply even
+        # before the first data merge (CREATE TABLE analogue)
+        base = [
+            ["url", "string"],
+            ["warc_ts", "timestamp"],
+            ["html", "binary"],
+            ["text", "string"],
+            ["lang", "string"],
+            ["receiver_idx", "int"],
+            ["seq", "bigint"],
+        ]
+        if self.cfg.delete_mode == "rewrite":
+            base.append(["__deleted", "boolean"])
+        self.target.declare_schema(base)
+
+        rows = (
+            sliced.filter(
+                (F.col("journal_code") == "D")
+                & (F.col("entry_type").isin("CG", "CT"))
+            )
+            .select("receiver_idx", "seq", "table_name")
+            .orderBy("receiver_idx", "seq")
+            .collect()
+        )
+        versions = [
+            v
+            for v in (
+                EvolutionSpec.parse_version(r["table_name"]) for r in rows
+            )
+            if v is not None
+        ]
+        return apply_schema_events(self.target, self.evolution, versions)
+
     # -- one micro-batch ------------------------------------------------
 
     def process_range(
@@ -75,6 +122,7 @@ class JournalTailer:
     ) -> dict:
         t0 = time.time()
         sliced = journal.filter(rng.predicate())
+        schema_versions = self._apply_schema_changes(sliced)
         # persist: the sink takes 2 actions over the batch (bucket
         # discovery + merge write); without this the whole decode
         # pipeline would re-execute per action
@@ -102,6 +150,7 @@ class JournalTailer:
         stats.update(
             {
                 "events": n_events,
+                "schema_versions_applied": schema_versions,
                 "secs": time.time() - t0,
                 "range": (
                     (rng.start.receiver_idx, rng.start.seq),

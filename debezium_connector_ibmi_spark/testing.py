@@ -20,8 +20,13 @@ def naive_replay(
     rows: list[dict],
     include_tables: tuple[str, ...] = ("PAGES",),
     delete_mode: str = "drop",
+    initial_state: dict[str, dict] | None = None,
 ) -> dict[str, dict]:
-    """Fold journal rows (any order) into final state keyed by url."""
+    """Fold journal rows (any order) into final state keyed by url.
+
+    ``initial_state``: snapshot rows ({url: {url, warc_ts, html,
+    lang}}) the fold starts from (T10 handover oracle).
+    """
     data = [
         r
         for r in rows
@@ -30,7 +35,9 @@ def naive_replay(
         and r["table_name"] in include_tables
     ]
     data.sort(key=lambda r: (r["receiver_idx"], r["seq"]))
-    state: dict[str, dict] = {}
+    state: dict[str, dict] = {
+        k: {**v, "__deleted": False} for k, v in (initial_state or {}).items()
+    }
     for r in data:
         op = _DATA_TYPES[r["entry_type"]]
         if op == "d":
