@@ -31,6 +31,17 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
+    # make this package importable in executor Python workers
+    # regardless of the caller's cwd (driver sys.path edits do NOT
+    # propagate to workers; PYTHONPATH does). On a real cluster the
+    # same is achieved with spark-submit --py-files.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(":"):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}:{existing}" if existing else repo_root
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -1,0 +1,109 @@
+"""Physical-plan shape assertions — the scale contract.
+
+These tests pin the optimizer behaviors the 100 TB design depends on
+(SURVEY.md §4): filter pushdown into the parquet scan, partition
+pruning on receiver_idx, broadcast joins for dimensions, and the
+decode UDF running after compaction (UDF cost ~ distinct keys, not
+event count).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_connector_ibmi_spark.config import EngineConfig
+from debezium_connector_ibmi_spark.datagen.journal import (
+    JournalGenConfig,
+    write_journal,
+)
+from debezium_connector_ibmi_spark.operators.filters import apply_standard_filters
+from debezium_connector_ibmi_spark.pipeline import current_state
+from debezium_connector_ibmi_spark.sources.journal_source import read_journal
+
+GEN = JournalGenConfig(n_urls=30, n_ops=300, receiver_rotation=100)
+
+
+@pytest.fixture(scope="module")
+def journal_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("journal_plan"))
+    write_journal(spark, GEN, p, num_files=2)
+    return p
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filters_push_to_scan(spark, journal_path):
+    j = read_journal(spark, journal_path)
+    f = apply_standard_filters(j, EngineConfig())
+    plan = _plan(f)
+    assert "PushedFilters" in plan
+    # the entry-type/journal-code IN-filters must reach the scan
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "journal_code" in pushed and "entry_type" in pushed
+
+
+def test_partition_pruning_on_receiver_idx(spark, journal_path):
+    j = read_journal(spark, journal_path)
+    pruned = j.filter(F.col("receiver_idx") == 1)
+    plan = _plan(pruned)
+    # receiver_idx is the partition column: the predicate must appear
+    # as a partition filter, not a data filter
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "receiver_idx" in pf
+
+
+def test_decode_udf_after_compaction(spark, journal_path):
+    """current_state must run the Python UDF on compacted survivors:
+    in the formatted plan the ArrowEvalPython node sits above the
+    window filter (rn=1), not below the shuffle."""
+    import re
+
+    j = read_journal(spark, journal_path)
+    plan = _plan(current_state(j, EngineConfig()))
+    # exactly one Python decode node (tree + details each mention it once)
+    udf_ids = {int(m) for m in re.findall(r"ArrowEvalPython \((\d+)\)", plan)}
+    win_ids = {int(m) for m in re.findall(r"Window \((\d+)\)", plan)}
+    assert len(udf_ids) == 1, f"want exactly one decode UDF node, got {udf_ids}"
+    assert win_ids
+    # formatted-plan node ids increase toward the root: the UDF must
+    # sit above (run after) every compaction window
+    assert min(udf_ids) > max(win_ids), (
+        "decode UDF must run after (above) compaction window"
+    )
+
+
+def test_dimension_joins_broadcast(spark):
+    from debezium_connector_ibmi_spark.queries.relational import (
+        rel_revenue_by_nation,
+    )
+
+    df = rel_revenue_by_nation(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_compaction_single_shuffle(spark, journal_path):
+    """Plain (unsalted) compaction = exactly one exchange over the
+    events; salted = two (by design, skew trade)."""
+    from debezium_connector_ibmi_spark.operators.compaction import (
+        last_event_per_key,
+        salted_last_event_per_key,
+    )
+
+    j = read_journal(spark, journal_path).filter(F.col("url").isNotNull())
+    import re
+
+    def n_exchanges(plan):  # tree + details both print each node
+        return len(set(re.findall(r"Exchange \((\d+)\)", plan)))
+
+    plain = _plan(last_event_per_key(j))
+    salted = _plan(salted_last_event_per_key(j, salt_buckets=4))
+    assert n_exchanges(plain) == 1
+    assert n_exchanges(salted) == 2
