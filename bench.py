@@ -1,7 +1,7 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the
 end-to-end CDC apply path (journal-tail -> merge) on a synthetic
-journal sized by $SPARK_GRAFT_BENCH_OPS (default 300k change events).
+journal sized by $SPARK_GRAFT_BENCH_OPS (default 1M change events).
 
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_OPS = int(os.environ.get("SPARK_GRAFT_BENCH_OPS", "300000"))
+BENCH_OPS = int(os.environ.get("SPARK_GRAFT_BENCH_OPS", "1000000"))
 
 HEADLINE = [
     "cdc_changelog_materialize",

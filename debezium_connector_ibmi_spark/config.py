@@ -45,9 +45,23 @@ class EngineConfig:
     num_buckets: int = 32
     salt_buckets: int = 8
     delete_mode: str = "drop"  # or "rewrite"
+    # "fused": pair+compact in one window pass (1 shuffle — default);
+    # "salted": separate pair then two-phase salted compaction
+    # (3 shuffles, survives pathological hot-key skew)
+    compaction_mode: str = "fused"
 
     # streaming
     poll_interval_ms: int = 2000
+    # T6: resume position older than the earliest available entry
+    # (journal truncated past the checkpoint): "fail" raises
+    # InvalidPositionError; "reset_earliest" logs data loss and
+    # replays from the start of the usable chain (the reference's
+    # blank-offset reset, As400StreamingChangeEventSource.java:126-128)
+    invalid_position_policy: str = "fail"
+    # S10: write undecodable/malformed row events to a quarantine
+    # table for forensics (the reference dumps failed decodes to
+    # files, RetrieveJournal.java:294-348)
+    quarantine_enabled: bool = False
     # journal codes/types accepted (F2: RetrievalCriteria JRNCDE/ENTTYP)
     journal_codes: tuple[str, ...] = ("R", "C", "D", "J")
     entry_types: tuple[str, ...] = (

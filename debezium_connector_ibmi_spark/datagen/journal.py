@@ -58,6 +58,10 @@ class JournalGenConfig:
     schema_change_every: int = 0  # if >0, a D.CG row every N cycles
     exact_before_images: bool = True  # lag-window true before image
     base_ts: str = "2024-01-01 00:00:00"
+    # payload sizing: body bulk ~ 32*html_bulk_repeat bytes (real
+    # Common-Crawl pages are KB-scale; small default keeps unit tests
+    # fast, benches crank it up)
+    html_bulk_repeat: int = 2
 
 
 def _u(col, seed: int, salt: str):
@@ -82,14 +86,15 @@ def _make_lang(url_id):
     )
 
 
-def _make_html(url, version, lang):
+def _make_html(url, version, lang, bulk_repeat: int = 2):
     """Deterministic html payload for (url, version).
 
     The body text is a pure function of (url, version) so that the
     byte-identical-text-per-url invariant is checkable: extracting
     text from this html must reproduce exactly what a naive oracle
     computes. Includes tags, entities, and control chars to exercise
-    the decode UDF (C3/C6/C8).
+    the decode UDF (C3/C6/C8). ``bulk_repeat`` scales the body toward
+    realistic page sizes.
     """
     word = F.substring(F.md5(F.concat(url, F.lit("#"), version.cast("string"))), 1, 8)
     body = F.concat(
@@ -103,6 +108,14 @@ def _make_html(url, version, lang):
         F.md5(F.concat(F.lit("p1"), url, version.cast("string"))),
         F.lit(" "),
         F.md5(F.concat(F.lit("p2"), url, version.cast("string"))),
+        F.lit(" "),
+        F.repeat(
+            F.concat(
+                F.md5(F.concat(F.lit("bulk"), url, version.cast("string"))),
+                F.lit(" "),
+            ),
+            bulk_repeat,
+        ),
     )
     html = F.concat(
         F.lit('<html><head><meta charset="utf-8"><title>T</title>'),
@@ -127,7 +140,7 @@ def generate_pages(spark: SparkSession, cfg: JournalGenConfig) -> DataFrame:
             F.to_timestamp(F.lit(cfg.base_ts)).cast("long") - F.lit(86400)
             + F.pmod(F.col("url_id"), F.lit(86400))
         ).cast("timestamp").alias("warc_ts"),
-        _make_html(url, version, lang).alias("html"),
+        _make_html(url, version, lang, cfg.html_bulk_repeat).alias("html"),
         lang.alias("lang"),
         version.alias("version"),
     )
@@ -184,8 +197,8 @@ def generate_journal(spark: SparkSession, cfg: JournalGenConfig) -> DataFrame:
     entry_ts = (base_ts + F.col("op_idx")).cast("timestamp")
     commit_cycle = (F.col("op_idx") / cfg.txn_size).cast("long")
 
-    html_after = _make_html(F.col("url"), F.col("version"), F.col("lang"))
-    html_before = _make_html(F.col("url"), F.col("prev_version"), F.col("lang"))
+    html_after = _make_html(F.col("url"), F.col("version"), F.col("lang"), cfg.html_bulk_repeat)
+    html_before = _make_html(F.col("url"), F.col("prev_version"), F.col("lang"), cfg.html_bulk_repeat)
 
     u_ignore = _u(F.col("op_idx"), cfg.seed, "ignore")
     table_name = F.when(u_ignore < cfg.ignore_table_pct, F.lit("IGNORE")).otherwise(

@@ -1,0 +1,115 @@
+"""Type conversion parity functions (C6/C7/C9/C10/C11/C15).
+
+The reference decodes DB2-for-i wire types with per-type codecs
+(``JdbcFileDecoder.toDataType`` JdbcFileDecoder.java:282-342,
+EBCDIC/CCSID text via ``AS400Text``/``CcsidCache``, DDL default
+literals via ``As400DefaultValueConverter.java:56-120``). Here:
+
+- charset decode is a vectorized pandas UDF parameterized by a Python
+  codec name (cp037/cp500 EBCDIC ship with CPython — no external
+  deps), with an optional CCSID->codec override map mirroring the
+  ``jt400-override-ccsid`` module;
+- DDL default parsing is a plan-time Python function feeding
+  ``coalesce(col, lit(default))`` at merge time;
+- the century-coded ``CYYMMDDHHMMSS`` attach-time decode
+  (ReceiverDecoder.java:79-89) is a pure Catalyst expression.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+# CCSID -> python codec (CcsidCache + override semantics; 37/500 are
+# the common EBCDIC code pages, 13488 is UTF-16-ish GRAPHIC)
+CCSID_CODECS = {37: "cp037", 500: "cp500", 819: "latin-1", 1208: "utf-8", 13488: "utf-16-be"}
+
+
+def charset_decode_udf(ccsid: int, overrides: dict[int, int] | None = None):
+    """C6/C7: binary -> string decode for a CCSID, honoring a
+    from->to override map (jt400-override-ccsid/readme.md:1-12)."""
+    effective = (overrides or {}).get(ccsid, ccsid)
+    codec = CCSID_CODECS.get(effective)
+    if codec is None:
+        raise ValueError(f"unsupported CCSID {effective}")
+
+    @F.pandas_udf(StringType())
+    def _decode(b: pd.Series) -> pd.Series:
+        return b.map(lambda x: x.decode(codec) if x is not None else None)
+
+    return _decode
+
+
+def parse_default_value(type_name: str, literal: str | None):
+    """C9: DDL default literal -> typed Python value
+    (As400DefaultValueConverter semantics: trimmed literals, quoted
+    strings, ``yyyy-MM-dd`` dates, ``yyyy-MM-dd-HH.mm.ss.SSSSSS``
+    timestamps, hex bit literals)."""
+    if literal is None:
+        return None
+    lit = literal.strip()
+    if lit.upper() in ("NULL", ""):
+        return None
+    t = type_name.upper()
+    if lit.startswith("'") and lit.endswith("'") and len(lit) >= 2:
+        lit = lit[1:-1]
+    if t in ("SMALLINT", "INTEGER", "BIGINT"):
+        return int(lit)
+    if t in ("REAL", "DOUBLE", "FLOAT"):
+        return float(lit)
+    if t.startswith(("DECIMAL", "NUMERIC")):
+        return Decimal(lit)
+    if t == "DATE":
+        return _dt.date.fromisoformat(lit)
+    if t == "TIME":
+        return _dt.time.fromisoformat(lit.replace(".", ":"))
+    if t == "TIMESTAMP":
+        # DB2-for-i format: yyyy-MM-dd-HH.mm.ss.SSSSSS
+        d, rest = lit[:10], lit[11:]
+        hh, mm, ss, *frac = rest.split(".")
+        micro = int((frac[0] + "000000")[:6]) if frac else 0
+        return _dt.datetime.fromisoformat(d).replace(
+            hour=int(hh), minute=int(mm), second=int(ss), microsecond=micro
+        )
+    if t.startswith(("BINARY", "VARBINARY")) and lit.upper().startswith("X'"):
+        return bytes.fromhex(lit[2:-1])
+    if t.startswith(("CHAR", "VARCHAR", "NCHAR", "NVARCHAR", "GRAPHIC", "VARGRAPHIC")):
+        return lit
+    raise ValueError(f"cannot parse default {literal!r} for type {type_name}")
+
+
+def with_default(col: Column | str, default) -> Column:
+    """Apply a parsed default at merge/projection time."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c, F.lit(default))
+
+
+def decode_cyymmddhhmmss(col: Column | str) -> Column:
+    """C11: 13-char ``CYYMMDDHHMMSS`` -> timestamp; century digit C
+    means 19+C hundreds (ReceiverDecoder.java:79-89: '0'->19xx,
+    '1'->20xx)."""
+    c = F.col(col) if isinstance(col, str) else col
+    year = (
+        (F.substring(c, 1, 1).cast("int") + 19) * 100
+        + F.substring(c, 2, 2).cast("int")
+    )
+    return F.make_timestamp(
+        year,
+        F.substring(c, 4, 2).cast("int"),
+        F.substring(c, 6, 2).cast("int"),
+        F.substring(c, 8, 2).cast("int"),
+        F.substring(c, 10, 2).cast("int"),
+        F.substring(c, 12, 2).cast("int"),
+    )
+
+
+def bigint_from_text(col: Column | str) -> Column:
+    """C15: 20-char digit text -> int64 (sequence numbers;
+    JournalInfoRetrieval.java:419-423)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(c).cast("long")

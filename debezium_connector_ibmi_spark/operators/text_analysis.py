@@ -139,26 +139,37 @@ def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
 def lsh_candidate_pairs(
     df: DataFrame, id_col: str = "doc_id", text: str = "text",
     seeds: tuple[str, ...] = ("s0", "s1", "s2", "s3"), n: int = 3,
+    rows_per_band: int = 2,
 ) -> DataFrame:
     """Banded-LSH near-dup candidates: melt signature -> single
-    self-join on (band_idx, band)."""
+    self-join on (band_idx, band).
+
+    ``rows_per_band`` (r) concatenates r minhashes per band (classic
+    b x r banding): r=1 maximizes recall but floods buckets on
+    self-similar corpora; r=2 is the standard precision/recall trade
+    and keeps bucket sizes (and the join output) bounded.
+    """
+    assert len(seeds) % rows_per_band == 0
     sig_cols = minhash_columns(text, seeds, n)
     sig = df.filter(F.size(words_col(text)) >= n).select(
         F.col(id_col), *[c.alias(k) for k, c in sig_cols.items()]
     )
-    melted = sig.select(
-        id_col,
-        F.explode(
-            F.array(
+    n_bands = len(seeds) // rows_per_band
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                "|",
                 *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.col(f"minhash_{i}").alias("band"),
-                    )
-                    for i in range(len(seeds))
-                ]
-            )
-        ).alias("b"),
+                    F.col(f"minhash_{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("band"),
+        )
+        for b in range(n_bands)
+    ]
+    melted = sig.select(
+        id_col, F.explode(F.array(*bands)).alias("b")
     ).select(id_col, "b.band_idx", "b.band")
     a = melted.select(F.col(id_col).alias("id_a"), "band_idx", "band")
     b = melted.select(F.col(id_col).alias("id_b"), "band_idx", "band")

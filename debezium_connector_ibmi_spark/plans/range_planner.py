@@ -53,16 +53,27 @@ class PositionRange:
         upper = (r < self.end.receiver_idx) | (
             (r == self.end.receiver_idx) & (s <= self.end.seq)
         )
-        return lower & upper
+        # redundant pure-partition-column conjuncts: the OR-form above
+        # mixes seq, which blocks partition pruning; these bounds let
+        # the scan skip receiver partitions outside the range entirely
+        # (the Spark analogue of the reference's server-side range
+        # restriction, RetrieveJournal RJNE0200 FROMENT/TOENT keys)
+        prune = (r >= self.start.receiver_idx) & (r <= self.end.receiver_idx)
+        return prune & lower & upper
 
 
 def receiver_lineage(journal: DataFrame) -> list[dict]:
-    """Driver-side receiver chain: (receiver_idx, receiver, min_seq,
-    max_seq, n_entries), ordered by chain index. Columnar scan of
-    metadata columns only — at 100 TB this reads parquet footers +
-    two small columns, and on Iceberg it is a pure manifest query."""
+    """Driver-side receiver chain: (receiver_idx, min_seq, max_seq,
+    n_entries), ordered by chain index.
+
+    Grouping is by the partition column only, so with
+    ``spark.sql.parquet.aggregatePushDown`` the min/max/count come
+    from parquet footer statistics — a metadata-only query, no data
+    scan (on Iceberg: a manifest query). The receiver *name* is
+    deliberately not aggregated (it is 1:1 with receiver_idx); the
+    chain carries indexes, which is all ordering needs."""
     rows = (
-        journal.groupBy("receiver_idx", "receiver")
+        journal.groupBy("receiver_idx")
         .agg(
             F.min("seq").alias("min_seq"),
             F.max("seq").alias("max_seq"),
@@ -71,7 +82,42 @@ def receiver_lineage(journal: DataFrame) -> list[dict]:
         .orderBy("receiver_idx")
         .collect()
     )
-    return [r.asDict() for r in rows]
+    return [{**r.asDict(), "receiver": None} for r in rows]
+
+
+def usable_chain(chain: list[dict]) -> list[dict]:
+    """A2 ``lastJoined`` semantics: receivers before a gap in the
+    chain are unreachable (detached/deleted receiver) — keep only the
+    suffix after the most recent gap
+    (DetailedJournalReceiver.java:44-76)."""
+    usable: list[dict] = []
+    prev = None
+    for rcv in sorted(chain, key=lambda r: r["receiver_idx"]):
+        if prev is not None and rcv["receiver_idx"] != prev + 1:
+            usable = []
+        usable.append(rcv)
+        prev = rcv["receiver_idx"]
+    return usable
+
+
+class InvalidPositionError(Exception):
+    """T6: resume position is before the earliest available journal
+    entry — the journal was truncated past the checkpoint (reference:
+    CPF7053/9801/7054 -> InvalidPositionException,
+    RetrieveJournal.java:140-183)."""
+
+
+def validate_position(chain: list[dict], pos: Position) -> bool:
+    """True when ``pos`` is a valid resume point against the usable
+    chain; False when data before the chain start was lost."""
+    if pos.receiver_idx < 0 or not chain:
+        return True  # fresh start: replay from earliest available
+    first = chain[0]
+    if pos.receiver_idx < first["receiver_idx"]:
+        return False
+    if pos.receiver_idx == first["receiver_idx"] and pos.seq < first["min_seq"] - 1:
+        return False
+    return True
 
 
 def plan_next_range(

@@ -8,18 +8,26 @@ op the 100 TB use-case needs) over the driver's testdata tables.
 
 from __future__ import annotations
 
-from debezium_connector_ibmi_spark.queries import cdc, embeddingops, relational, textops
+from debezium_connector_ibmi_spark.queries import (
+    cdc,
+    embeddingops,
+    misc_ops,
+    relational,
+    textops,
+)
+
+_MODULES = (cdc, relational, textops, embeddingops, misc_ops)
 
 
 def all_queries():
     out = {}
-    for mod in (cdc, relational, textops, embeddingops):
+    for mod in _MODULES:
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for mod in (cdc, relational, textops, embeddingops):
+    for mod in _MODULES:
         out.update(mod.ORACLES)
     return out

@@ -239,8 +239,8 @@ ORACLES = {
         WITH sig AS ({_MINHASH_SQL})
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         AND (a.minhash_0 = b.minhash_0 OR a.minhash_1 = b.minhash_1
-           OR a.minhash_2 = b.minhash_2 OR a.minhash_3 = b.minhash_3)
+         AND ((a.minhash_0 = b.minhash_0 AND a.minhash_1 = b.minhash_1)
+           OR (a.minhash_2 = b.minhash_2 AND a.minhash_3 = b.minhash_3))
     """,
     "doc_simhash": _SIMHASH_SQL,
     "doc_ngram_jaccard_pairs": _JACCARD_SQL,

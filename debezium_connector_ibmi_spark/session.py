@@ -51,12 +51,36 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # scan-split sizing: default 128MB packs a journal scan into
+        # too few tasks to feed 32 cores (13 tasks on a 1.6GB journal
+        # measured); 32MB keeps scan parallelism >= cores at bench
+        # scale while staying coarse enough at 100TB (where file
+        # count, not split size, sets parallelism)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)),
+        )
+        # receiver-chain discovery = min/max(seq) grouped by the
+        # partition column: answerable from parquet footer stats
+        # (Iceberg answers it from manifests)
+        .config("spark.sql.parquet.aggregatePushDown", "true")
         # dynamic mode lets the MERGE sink atomically replace only the
         # key-buckets a batch touches (partition-pruned copy-on-write)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # deliberately modest heap: oversized local-mode heaps (48g+)
+        # measured 5-20s GC stalls with binary-heavy rows; 16g is
+        # fast and stable at 32 threads (override via env if needed)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    # shuffle/spill directory: on a cluster each executor has local
+    # SSDs; in this single-VM sandbox the lone virtual disk
+    # (~400 MB/s) caps shuffle throughput and masks CPU scaling.
+    # SPARK_GRAFT_LOCAL_DIR=/dev/shm/... puts shuffle files in RAM.
+    if os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
+        local_dir = os.environ["SPARK_GRAFT_LOCAL_DIR"]
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     # Only force a master when the environment hasn't supplied one
     # (spark-submit on a cluster sets it; bare pytest does not).
     if "SPARK_MASTER" in os.environ:

@@ -36,10 +36,13 @@ from debezium_connector_ibmi_spark.pipeline import (
     with_text,
 )
 from debezium_connector_ibmi_spark.plans.range_planner import (
+    InvalidPositionError,
     Position,
     PositionRange,
     plan_next_range,
     receiver_lineage,
+    usable_chain,
+    validate_position,
 )
 from debezium_connector_ibmi_spark.sinks.merge import KeyBucketedTarget
 from debezium_connector_ibmi_spark.sources.journal_source import read_journal
@@ -50,9 +53,19 @@ def _merge_columns() -> list[str]:
 
 
 def prepare_batch(journal_slice: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """filter -> op-map -> pair -> compact -> decode survivors."""
-    events = decoded_events(journal_slice, cfg)
-    last = compact_batch(events, cfg)
+    """filter -> op-map -> pair -> compact -> decode survivors.
+
+    compaction_mode="fused" (default): pairing + compaction in one
+    window (one shuffle). "salted": separate stages with two-phase
+    skew salting (for pathological hot keys).
+    """
+    if cfg.compaction_mode == "fused":
+        from debezium_connector_ibmi_spark.pipeline import pair_and_compact
+
+        last = pair_and_compact(journal_slice, cfg)
+    else:
+        events = decoded_events(journal_slice, cfg)
+        last = compact_batch(events, cfg)
     return with_text(last).select(*_merge_columns())
 
 
@@ -123,6 +136,22 @@ class JournalTailer:
         t0 = time.time()
         sliced = journal.filter(rng.predicate())
         schema_versions = self._apply_schema_changes(sliced)
+        n_quarantined = 0
+        if self.cfg.quarantine_enabled:
+            # S10 diagnostic dump: row events whose payload cannot be
+            # decoded (insert/update with no after-image bytes)
+            from debezium_connector_ibmi_spark.functions.optype import op_type_col
+
+            bad = sliced.filter(
+                (F.col("journal_code") == "R")
+                & op_type_col().isin("c", "u")
+                & F.col("html").isNull()
+                & F.col("table_name").isin(*self.cfg.table_include_list)
+            )
+            qpath = f"{self.cfg.target_path.rstrip('/')}/_quarantine/batch_id={batch_id}"
+            n_quarantined = bad.count()
+            if n_quarantined:
+                bad.write.mode("overwrite").parquet(qpath)
         # persist: the sink takes 2 actions over the batch (bucket
         # discovery + merge write); without this the whole decode
         # pipeline would re-execute per action
@@ -150,6 +179,7 @@ class JournalTailer:
         stats.update(
             {
                 "events": n_events,
+                "quarantined": n_quarantined,
                 "schema_versions_applied": schema_versions,
                 "secs": time.time() - t0,
                 "range": (
@@ -168,20 +198,64 @@ class JournalTailer:
         watermark, so killing the process anywhere and rerunning
         resumes correctly."""
         journal = read_journal(self.spark, self.cfg.journal_path)
-        chain = receiver_lineage(journal)
+        chain = usable_chain(receiver_lineage(journal))
         out = []
+        # T6: invalid-position triage before the loop (the reference's
+        # CPF7053 handling: fail, or reset-to-earliest with a logged
+        # data-loss marker)
+        ridx, seq = self.target.watermark()
+        start = Position(ridx, seq, processed=True)
+        if not validate_position(chain, start):
+            if self.cfg.invalid_position_policy == "fail":
+                raise InvalidPositionError(
+                    f"resume position ({ridx},{seq}) precedes earliest "
+                    f"available entry ({chain[0]['receiver_idx']},"
+                    f"{chain[0]['min_seq']}) — journal truncated"
+                )
+            out.append(
+                {
+                    "skipped": False,
+                    "data_loss_reset": True,
+                    "from": (ridx, seq),
+                    "to_earliest": (
+                        chain[0]["receiver_idx"],
+                        chain[0]["min_seq"],
+                    ),
+                }
+            )
         while max_batches is None or len(out) < max_batches:
             ridx, seq = self.target.watermark()
-            rng = plan_next_range(
-                chain,
-                Position(ridx, seq, processed=True),
-                self.cfg.max_entries_per_batch,
-            )
+            start = Position(ridx, seq, processed=True)
+            if not validate_position(chain, start):
+                # reset_earliest: start just before the chain head
+                start = Position(
+                    chain[0]["receiver_idx"], chain[0]["min_seq"], processed=False
+                )
+            rng = plan_next_range(chain, start, self.cfg.max_entries_per_batch)
             if rng is None:
                 break
             batch_id = self.target.last_batch_id() + 1
             out.append(self.process_range(journal, rng, batch_id))
         return out
+
+    def lag_metrics(self) -> DataFrame:
+        """A1: per-receiver JournalBehind/JournalOffset metric table —
+        journal head vs the sink's applied per-partition watermarks."""
+        from debezium_connector_ibmi_spark.operators.transactions import journal_lag
+
+        journal = read_journal(self.spark, self.cfg.journal_path)
+        lineage_rows = self.target.lineage()
+        if lineage_rows:
+            applied = self.spark.createDataFrame(
+                [
+                    (int(p["receiver_idx"]), int(p["seq"]))
+                    for p in lineage_rows
+                ],
+                "receiver_idx int, seq long",
+            )
+        else:
+            applied = self.spark.createDataFrame([], "receiver_idx int, seq long")
+        return journal_lag(journal, applied)
 
 
 def run_structured_stream(

@@ -1,0 +1,90 @@
+"""Operator-level behavior of the text-analysis/dedup suite beyond
+the oracle queries: banding variants, thresholds, dedup keepers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_connector_ibmi_spark.operators import text_analysis as ta
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+        (3, "the quick brown fox jumps over a lazy dog", "en"),  # near dup
+        (4, "completely different words entirely here now", "en"),
+        (5, "der hund ist und das war die katze und so", "de"),
+        (6, "a b", "en"),  # too short for 3-shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    return df.cache()
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r["keeper"]: r["n_docs"] for r in ta.exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1+2 identical, keeper = min id
+    assert out[3] == 1
+
+
+def test_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ta.lsh_candidate_pairs(docs, rows_per_band=1).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup shares minima
+    assert not any(4 in p for p in pairs)  # unrelated doc stays out
+
+
+def test_lsh_r2_is_subset_of_r1(spark, docs):
+    r1 = {
+        (r["id_a"], r["id_b"])
+        for r in ta.lsh_candidate_pairs(docs, rows_per_band=1).collect()
+    }
+    r2 = {
+        (r["id_a"], r["id_b"])
+        for r in ta.lsh_candidate_pairs(docs, rows_per_band=2).collect()
+    }
+    assert r2 <= r1  # r=2 banding strictly more selective
+
+
+def test_jaccard_threshold(spark, docs):
+    strict = ta.jaccard_pairs(docs, threshold_num=9, threshold_den=10).collect()
+    loose = ta.jaccard_pairs(docs, threshold_num=1, threshold_den=10).collect()
+    strict_pairs = {(r["id_a"], r["id_b"]) for r in strict}
+    loose_pairs = {(r["id_a"], r["id_b"]) for r in loose}
+    assert (1, 2) in strict_pairs  # identical: jaccard 1.0
+    assert strict_pairs <= loose_pairs
+    assert (1, 3) in loose_pairs  # near dup passes the loose gate
+
+
+def test_simhash_similarity(spark, docs):
+    sh = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", ta.simhash16().alias("sh")).collect()}
+    assert sh[1] == sh[2]  # identical docs: identical simhash
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near <= ham_far  # near dup at most as far as unrelated
+
+
+def test_lang_guess(spark, docs):
+    out = {r["doc_id"]: r["g"] for r in docs.select(
+        "doc_id", ta.lang_guess().alias("g")).collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"
+
+
+def test_quality_and_tokens(spark, docs):
+    row = (
+        docs.filter(F.col("doc_id") == 1)
+        .select(
+            ta.token_count().alias("n"),
+            ta.stopword_count().alias("sw"),
+        )
+        .collect()[0]
+    )
+    assert row["n"] == 9
+    assert row["sw"] == 2  # 'the' twice
