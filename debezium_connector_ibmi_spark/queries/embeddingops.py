@@ -135,9 +135,78 @@ _BUCKET_SQL = " + ".join(
 )
 
 
+# --- embedding-cosine near-duplicate pairs (dedup family) -------------
+_NEAR_DUP_COS = 0.35
+
+
+def emb_cosine_near_dup_pairs(spark, sf_dir):
+    """Near-dup detection on embeddings: candidate pairs from the
+    sign-LSH bucket join, verified by cosine >= threshold. Integer
+    output columns only (ids), so the oracle hash is float-safe."""
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("embedding")))
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(_cosine(F.col("va"), F.col("vb")), 6) >= _NEAR_DUP_COS
+        )
+        .select("id_a", "id_b")
+    )
+
+
+# --- IVF-style ANN: KMeans coarse quantizer, search nprobe cells -------
+def emb_ivf_topk(spark, sf_dir):
+    """IVF scale path: train a coarse quantizer (KMeans, seeded),
+    assign every vector to its nearest centroid cell, search each
+    query only in its own cell (nprobe=1) and rank by cosine.
+    Training is iterative/not SQL-expressible -> rows-only check."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = _emb(spark, sf_dir).withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    km = KMeans(k=8, seed=42, maxIter=5, featuresCol="features")
+    model = km.fit(e)
+    assigned = model.transform(e).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    )
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell"
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell"
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 QUERIES = {
     "emb_knn_brute_force": emb_knn_brute_force,
     "emb_ann_lsh_bucket": emb_ann_lsh_bucket,
+    "emb_cosine_near_dup_pairs": emb_cosine_near_dup_pairs,
+    "emb_ivf_topk": emb_ivf_topk,  # rows-only (iterative training)
 }
 
 ORACLES = {
@@ -164,5 +233,14 @@ ORACLES = {
             FROM e a JOIN e b ON a.bucket = b.bucket
             WHERE a.vec_id < {_N_QUERIES} AND a.vec_id <> b.vec_id
         ) WHERE rank <= 3
+    """,
+    "emb_cosine_near_dup_pairs": f"""
+        WITH e AS (
+            SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_cos_sql()} >= {_NEAR_DUP_COS}
     """,
 }

@@ -176,7 +176,31 @@ _JACCARD_SQL = """
 """
 
 
+def doc_scrub_control_chars(spark, sf_dir):
+    """C8: control-char scrub (As400ValueConverters.java:27-71) —
+    ASCII controls injected deterministically, scrubbed to '?'.
+    (Injected chars are ASCII-only so Java and RE2 unicode tables
+    cannot disagree.)"""
+    from debezium_connector_ibmi_spark.functions.decode import (
+        scrub_control_chars,
+    )
+
+    d = _docs(spark, sf_dir).withColumn(
+        "dirty",
+        F.concat(
+            F.substring("text", 1, 20),
+            F.expr("char(1)"),
+            F.lit("mid"),
+            F.expr("char(7)"),
+            F.substring("text", 21, 10),
+            F.expr("char(31)"),
+        ),
+    )
+    return d.select("doc_id", scrub_control_chars("dirty").alias("clean"))
+
+
 QUERIES = {
+    "doc_scrub_control_chars": doc_scrub_control_chars,
     "doc_token_count": doc_token_count,
     "doc_quality_score": doc_quality_score,
     "doc_lang_id": doc_lang_id,
@@ -189,6 +213,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_scrub_control_chars": r"""
+        SELECT doc_id,
+               regexp_replace(
+                   substring(text, 1, 20) || chr(1) || 'mid' || chr(7)
+                   || substring(text, 21, 10) || chr(31),
+                   '[\p{Cc}\p{Cf}\p{Co}\p{Cs}]', '?', 'g') AS clean
+        FROM documents
+    """,
     "doc_token_count": """
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,

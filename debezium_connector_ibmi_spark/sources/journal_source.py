@@ -13,6 +13,7 @@ The reference fetches journal blocks over an RPC into a byte buffer
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 JOURNAL_SCHEMA = T.StructType(
@@ -37,6 +38,105 @@ JOURNAL_SCHEMA = T.StructType(
 
 def read_journal(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(JOURNAL_SCHEMA).parquet(path)
+
+
+def to_binary_journal(journal: DataFrame) -> DataFrame:
+    """Pack per-entry header fields into the engine's 63-byte binary
+    header record (C1 wire-format analogue): what a raw RJNE0200
+    buffer split into per-entry blobs would look like. Receiver
+    identity stays as partition metadata (the reference also knows
+    the receiver out-of-band — it asked for it)."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from debezium_connector_ibmi_spark.functions.header_codec import (
+        HEADER_LEN,
+        encode_header,
+    )
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pyspark's hint inference rejects for multi-arg UDFs
+    def _pack(seq, ts_us, code, etype, cycle, obj, plen):
+        return pd.Series(
+            [
+                encode_header(
+                    HEADER_LEN,
+                    int(s),
+                    int(t),
+                    c,
+                    e,
+                    int(cy) if cy is not None and not pd.isna(cy) else 0,
+                    o or "",
+                    int(p),
+                )
+                for s, t, c, e, cy, o, p in zip(
+                    seq, ts_us, code, etype, cycle, obj, plen
+                )
+            ],
+            dtype="object",
+        )
+
+    pack = F.pandas_udf(_pack, BinaryType())
+
+    obj_name = F.concat(
+        F.rpad(F.coalesce(F.col("table_name"), F.lit("")), 10, " "),
+        F.rpad(F.lit("WEBLIB"), 10, " "),
+        F.rpad(F.lit("M0001"), 10, " "),
+    )
+    return journal.select(
+        "receiver",
+        "receiver_idx",
+        pack(
+            F.col("seq"),
+            (F.col("entry_ts").cast("double") * 1_000_000).cast("long"),
+            F.col("journal_code"),
+            F.col("entry_type"),
+            F.coalesce(F.col("commit_cycle"), F.lit(0)),
+            obj_name,
+            F.coalesce(F.length("html"), F.lit(0)).cast("int"),
+        ).alias("header_blob"),
+        "url",
+        "before_html",
+        "html",
+        "warc_ts",
+        "lang",
+        "null_mask",
+    )
+
+
+def from_binary_journal(binary_journal: DataFrame) -> DataFrame:
+    """Inverse of :func:`to_binary_journal`: vectorized header decode
+    (one numpy ``frombuffer`` per Arrow batch — the columnar
+    EntryHeaderDecoder) reconstructing the standard journal columns;
+    the rest of the engine runs unchanged on the result."""
+    from debezium_connector_ibmi_spark.functions.decode import split_object_name
+    from debezium_connector_ibmi_spark.functions.header_codec import (
+        decode_header_udf,
+    )
+
+    d = binary_journal.withColumn("h", decode_header_udf("header_blob"))
+    return d.select(
+        "receiver",
+        "receiver_idx",
+        F.col("h.sequence").alias("seq"),
+        (F.col("h.entry_ts_us") / 1_000_000).cast("timestamp").alias("entry_ts"),
+        F.col("h.journal_code").alias("journal_code"),
+        F.col("h.entry_type").alias("entry_type"),
+        F.when(
+            F.col("h.journal_code") == "C", F.col("h.commit_cycle")
+        ).otherwise(
+            F.when(F.col("h.journal_code") == "R", F.col("h.commit_cycle"))
+        ).alias("commit_cycle"),
+        F.nullif(
+            split_object_name(F.col("h.object_name")).getField("file"), F.lit("")
+        ).alias("table_name"),
+        "url",
+        "before_html",
+        "html",
+        "warc_ts",
+        "lang",
+        "null_mask",
+    )
 
 
 def read_journal_stream(
