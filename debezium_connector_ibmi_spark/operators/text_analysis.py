@@ -105,7 +105,10 @@ def minhash_columns(
     text: Column | str = "text", seeds: tuple[str, ...] = ("s0", "s1", "s2", "s3"),
     n: int = 3,
 ) -> dict[str, Column]:
-    """MinHash signature: min(md5(seed||shingle)) per seed."""
+    """MinHash signature: min(md5(seed||shingle)) per seed.
+
+    Prefer :func:`with_minhash` in pipelines — it hashes each shingle
+    ONCE and slices the digest (one-hash minhash), ~4x cheaper."""
     sh = shingles(text, n)
     return {
         f"minhash_{i}": F.array_min(
@@ -113,6 +116,35 @@ def minhash_columns(
         )
         for i, seed in enumerate(seeds)
     }
+
+
+def with_minhash(
+    df: DataFrame,
+    text: str = "text",
+    n_hashes: int = 4,
+    n: int = 3,
+    prefix: str = "minhash_",
+) -> DataFrame:
+    """One-hash MinHash: md5 each shingle once, use ``n_hashes``
+    disjoint 8-hex-char slices of the digest as independent hash
+    functions (md5's 32 hex chars allow up to 4). The shingle-hash
+    array is materialized once per row (a single transform), so the
+    cost is one digest per shingle regardless of signature width."""
+    assert n_hashes <= 4
+    d = df.filter(F.size(words_col(text)) >= n).withColumn(
+        "__shash", F.transform(shingles(text, n), lambda s: F.md5(s))
+    )
+    def _slicer(start: int):
+        # NB: a `lambda h, i=i` default-arg closure would make pyspark
+        # treat it as a two-arg (element, index) lambda — avoid
+        return lambda h: F.substring(h, start, 8)
+
+    for i in range(n_hashes):
+        d = d.withColumn(
+            f"{prefix}{i}",
+            F.array_min(F.transform(F.col("__shash"), _slicer(1 + 8 * i))),
+        )
+    return d.drop("__shash")
 
 
 def simhash16(text: Column | str = "text") -> Column:
@@ -150,9 +182,8 @@ def lsh_candidate_pairs(
     and keeps bucket sizes (and the join output) bounded.
     """
     assert len(seeds) % rows_per_band == 0
-    sig_cols = minhash_columns(text, seeds, n)
-    sig = df.filter(F.size(words_col(text)) >= n).select(
-        F.col(id_col), *[c.alias(k) for k, c in sig_cols.items()]
+    sig = with_minhash(df, text=text, n_hashes=len(seeds), n=n).select(
+        id_col, *[f"minhash_{i}" for i in range(len(seeds))]
     )
     n_bands = len(seeds) // rows_per_band
     bands = [

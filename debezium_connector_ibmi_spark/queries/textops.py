@@ -72,9 +72,9 @@ def doc_dedup_exact(spark, sf_dir):
 
 
 def doc_minhash_signature(spark, sf_dir):
-    d = _docs(spark, sf_dir).filter(F.size(ta.words_col()) >= _N_SHINGLE)
-    cols = ta.minhash_columns(seeds=_SEEDS, n=_N_SHINGLE)
-    return d.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+    return ta.with_minhash(
+        _docs(spark, sf_dir), n_hashes=len(_SEEDS), n=_N_SHINGLE
+    ).select("doc_id", *[f"minhash_{i}" for i in range(len(_SEEDS))])
 
 
 _MINHASH_SQL = """
@@ -95,10 +95,10 @@ _MINHASH_SQL = """
         QUALIFY p <= n_words - 2
     )
     SELECT doc_id,
-           min(md5('s0' || shingle)) AS minhash_0,
-           min(md5('s1' || shingle)) AS minhash_1,
-           min(md5('s2' || shingle)) AS minhash_2,
-           min(md5('s3' || shingle)) AS minhash_3
+           min(substring(md5(shingle), 1, 8)) AS minhash_0,
+           min(substring(md5(shingle), 9, 8)) AS minhash_1,
+           min(substring(md5(shingle), 17, 8)) AS minhash_2,
+           min(substring(md5(shingle), 25, 8)) AS minhash_3
     FROM sh GROUP BY doc_id
 """
 
