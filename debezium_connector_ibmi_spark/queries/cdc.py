@@ -23,6 +23,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _ensure_utc(spark: SparkSession) -> None:
+    """TIMESTAMP_NTZ -> instant conversions (unix_millis, epoch
+    seconds) depend on the session timezone; DuckDB's epoch_ms treats
+    naive timestamps as UTC. Pin the session so the comparison holds
+    even when the caller's session was not built by get_spark()."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _op(col="event_type"):
     c = F.col(col)
     return (
@@ -157,6 +165,7 @@ def cdc_event_counters(spark, sf_dir):
 
 # --- F8: flattened Debezium envelope -------------------------------------
 def cdc_envelope_flat(spark, sf_dir):
+    _ensure_utc(spark)
     df = _events(spark, sf_dir).withColumn("op", _op())
     w = Window.partitionBy("user_id").orderBy("event_id")
     return df.select(

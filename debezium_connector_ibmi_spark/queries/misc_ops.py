@@ -41,6 +41,9 @@ def cdc_session_count(spark, sf_dir):
     """Sessions per user: a new session starts when the gap to the
     previous event exceeds 30 minutes (lag + conditional sum — the
     receiver 'lastJoined' gap logic generalized)."""
+    from debezium_connector_ibmi_spark.queries.cdc import _ensure_utc
+
+    _ensure_utc(spark)
     df = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ts_s = F.col("ts").cast("timestamp").cast("long")  # NTZ -> epoch (UTC session)
