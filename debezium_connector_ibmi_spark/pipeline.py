@@ -98,6 +98,45 @@ def pair_and_compact(journal_slice: DataFrame, cfg: EngineConfig) -> DataFrame:
     return out
 
 
+def compact_for_state(journal_slice: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Last-per-key compaction for the MERGE/state path.
+
+    Final state never uses before-images, so UB rows are filtered out
+    BEFORE the shuffle and the ``before_html``/``null_mask`` columns
+    never leave the scan — roughly halving shuffled bytes vs the
+    pairing-aware path (the biggest single cost at 2KB+ payloads).
+    One window pass, one shuffle, or the two-phase salted variant.
+    """
+    f = apply_standard_filters(journal_slice, cfg)
+    f = f.withColumn("op", op_type_col())
+    data = f.filter(F.col("op").isin("c", "u", "d")).select(
+        "table_name",
+        cfg.key_column,
+        "receiver_idx",
+        "seq",
+        "op",
+        "html",
+        "warc_ts",
+        "lang",
+    )
+    if cfg.compaction_mode == "salted":
+        return salted_last_event_per_key(data, cfg.key_column, cfg.salt_buckets)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("table_name", cfg.key_column)
+    pos = F.struct(F.col("receiver_idx"), F.col("seq"))
+    last_pos = F.max(pos).over(
+        w.orderBy("receiver_idx", "seq").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return (
+        data.withColumn("__last", pos == last_pos)
+        .filter(F.col("__last"))
+        .drop("__last")
+    )
+
+
 def current_state(journal: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Full-replay materialization: the final table the reference's
     downstream would hold after consuming the whole changelog.
@@ -105,11 +144,7 @@ def current_state(journal: DataFrame, cfg: EngineConfig) -> DataFrame:
     Decode runs on the compacted survivors only — at 10^10 events
     over 10^8 urls that is a 100x reduction in UDF work.
     """
-    if cfg.compaction_mode == "fused":
-        last = pair_and_compact(journal, cfg)
-    else:
-        events = decoded_events(journal, cfg)
-        last = compact_batch(events, cfg)
+    last = compact_for_state(journal, cfg)
     if cfg.delete_mode == "drop":
         state = last.filter(F.col("op") != "d")
     else:

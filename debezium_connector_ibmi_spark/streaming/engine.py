@@ -53,19 +53,17 @@ def _merge_columns() -> list[str]:
 
 
 def prepare_batch(journal_slice: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """filter -> op-map -> pair -> compact -> decode survivors.
+    """filter -> op-map -> compact -> decode survivors.
 
-    compaction_mode="fused" (default): pairing + compaction in one
-    window (one shuffle). "salted": separate stages with two-phase
-    skew salting (for pathological hot keys).
+    Uses the state-path compaction (UB rows and before-image bytes
+    dropped BEFORE the shuffle — final state never reads them;
+    envelope/event consumers use pipeline.pair_and_compact /
+    decoded_events instead). compaction_mode="fused" = one window
+    pass; "salted" = two-phase skew-safe.
     """
-    if cfg.compaction_mode == "fused":
-        from debezium_connector_ibmi_spark.pipeline import pair_and_compact
+    from debezium_connector_ibmi_spark.pipeline import compact_for_state
 
-        last = pair_and_compact(journal_slice, cfg)
-    else:
-        events = decoded_events(journal_slice, cfg)
-        last = compact_batch(events, cfg)
+    last = compact_for_state(journal_slice, cfg)
     return with_text(last).select(*_merge_columns())
 
 
