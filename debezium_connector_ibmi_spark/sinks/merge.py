@@ -371,11 +371,20 @@ class KeyBucketedTarget:
             if b not in written and str(b) in bucket_map:
                 del bucket_map[str(b)]
 
+        # the committed watermark is monotone: an out-of-order batch
+        # (file-source disorder) must never move it backwards
+        prev_wm = (last or {}).get("watermark")
+        if watermark is not None and prev_wm is not None:
+            new_wm = list(max(tuple(watermark), (int(prev_wm[0]), int(prev_wm[1]))))
+        elif watermark is not None:
+            new_wm = list(watermark)
+        else:
+            new_wm = prev_wm
         commit = {
             "version": version,
             "batch_id": batch_id,
             "buckets": bucket_map,
-            "watermark": list(watermark) if watermark else (last or {}).get("watermark"),
+            "watermark": new_wm,
             "partitions": partitions or [],
             "ts": time.time(),
             "kind": "merge",

@@ -281,7 +281,8 @@ def run_structured_stream(
     )
 
     def apply_batch(df: DataFrame, epoch_id: int):
-        batch = prepare_batch(df, cfg)
+        # persist: the sink takes two actions over the batch
+        batch = prepare_batch(df, cfg).persist()
         wm = df.agg(
             F.max(F.struct(F.col("receiver_idx"), F.col("seq"))).alias("w")
         ).collect()[0]["w"]
@@ -290,6 +291,7 @@ def run_structured_stream(
             batch_id=epoch_id,
             watermark=(wm["receiver_idx"], wm["seq"]) if wm else None,
         )
+        batch.unpersist()
 
     stream = read_journal_stream(spark, cfg.journal_path)
     writer = (
