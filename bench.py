@@ -45,6 +45,12 @@ HEADLINE = [
 ]
 
 
+def F_sum_warmup():
+    from pyspark.sql import functions as F
+
+    return F.sum("id")
+
+
 def main():
     from debezium_connector_ibmi_spark.config import EngineConfig
     from debezium_connector_ibmi_spark.datagen.journal import (
@@ -60,6 +66,9 @@ def main():
     )
 
     qs = all_queries()
+    # JVM/codegen warmup so the first headline query isn't charged
+    # for session initialization
+    spark.range(1000).select(F_sum_warmup()).collect()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
