@@ -1,0 +1,163 @@
+"""spark-submit entrypoint for the CDC engine.
+
+Cluster usage (north star: ``spark-submit --py-files`` on
+multi-executor clusters)::
+
+    zip -r engine.zip debezium_connector_ibmi_spark
+    spark-submit --py-files engine.zip scripts/run_pipeline.py \
+        tail --journal s3://.../journal --target s3://.../target \
+        [--max-entries 1000000] [--delete-mode drop] [--follow]
+
+Locally the same script runs with plain ``python``. Subcommands:
+
+- ``generate``  synthesize a journal (deterministic, seeded)
+- ``snapshot``  initial load with head-watermark handover (T10)
+- ``tail``      plan+apply micro-batches to head (or --follow poll)
+- ``stream``    Structured Streaming mode (foreachBatch)
+- ``metrics``   print per-receiver lag metrics (A1)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _cfg(args):
+    from debezium_connector_ibmi_spark.config import EngineConfig
+
+    return EngineConfig(
+        journal_path=args.journal,
+        target_path=args.target,
+        checkpoint_path=getattr(args, "checkpoint", "") or f"{args.target}/_ckpt",
+        max_entries_per_batch=args.max_entries,
+        num_buckets=args.buckets,
+        delete_mode=args.delete_mode,
+        invalid_position_policy=args.invalid_position_policy,
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="run_pipeline")
+    p.add_argument("--cores", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--journal", required=True)
+    g.add_argument("--n-urls", type=int, default=10_000)
+    g.add_argument("--n-ops", type=int, default=100_000)
+    g.add_argument("--payload-repeat", type=int, default=2)
+    g.add_argument("--files", type=int, default=16)
+
+    for name in ("snapshot", "tail", "stream", "metrics"):
+        s = sub.add_parser(name)
+        s.add_argument("--journal", required=True)
+        s.add_argument("--target", required=True)
+        s.add_argument("--max-entries", type=int, default=1_000_000)
+        s.add_argument("--buckets", type=int, default=32)
+        s.add_argument("--delete-mode", default="drop", choices=["drop", "rewrite"])
+        s.add_argument(
+            "--invalid-position-policy",
+            default="fail",
+            choices=["fail", "reset_earliest"],
+        )
+        if name == "tail":
+            s.add_argument("--follow", action="store_true")
+            s.add_argument("--poll-ms", type=int, default=2000)
+        if name == "stream":
+            s.add_argument("--checkpoint", default="")
+            s.add_argument("--continuous", action="store_true")
+        if name == "snapshot":
+            s.add_argument("--n-urls", type=int, default=10_000)
+
+    args = p.parse_args(argv)
+
+    from debezium_connector_ibmi_spark.session import get_spark
+
+    spark = get_spark(app_name=f"cdc-{args.cmd}", cores=args.cores)
+
+    if args.cmd == "generate":
+        from debezium_connector_ibmi_spark.datagen.journal import (
+            JournalGenConfig,
+            write_journal,
+        )
+
+        gen = JournalGenConfig(
+            n_urls=args.n_urls,
+            n_ops=args.n_ops,
+            receiver_rotation=max(1, args.n_ops // 8),
+            html_bulk_repeat=args.payload_repeat,
+        )
+        write_journal(spark, gen, args.journal, num_files=args.files)
+        print(json.dumps({"generated": args.n_ops, "journal": args.journal}))
+        return 0
+
+    if args.cmd == "snapshot":
+        from debezium_connector_ibmi_spark.datagen.journal import (
+            JournalGenConfig,
+            generate_pages,
+        )
+        from debezium_connector_ibmi_spark.sources.snapshot import initial_snapshot
+
+        pages = generate_pages(
+            spark, JournalGenConfig(n_urls=args.n_urls)
+        ).drop("version")
+        wm = initial_snapshot(spark, _cfg(args), pages)
+        print(json.dumps({"snapshot_watermark": list(wm)}))
+        return 0
+
+    if args.cmd == "tail":
+        from debezium_connector_ibmi_spark.streaming.engine import JournalTailer
+
+        cfg = _cfg(args)
+        tailer = JournalTailer(spark, cfg)
+        total = 0
+        while True:
+            stats = tailer.run_to_head()
+            total += sum(s.get("events", 0) for s in stats)
+            for s in stats:
+                print(json.dumps(s, default=str), file=sys.stderr)
+            if not args.follow:
+                break
+            time.sleep(args.poll_ms / 1000.0)
+        print(
+            json.dumps(
+                {
+                    "events_applied": total,
+                    "watermark": list(tailer.target.watermark()),
+                    "batches": len(stats),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "stream":
+        from debezium_connector_ibmi_spark.streaming.engine import (
+            run_structured_stream,
+        )
+
+        q = run_structured_stream(
+            spark, _cfg(args), available_now=not args.continuous
+        )
+        q.awaitTermination()
+        print(json.dumps({"stream": "terminated"}))
+        return 0
+
+    if args.cmd == "metrics":
+        from debezium_connector_ibmi_spark.streaming.engine import JournalTailer
+
+        tailer = JournalTailer(spark, _cfg(args))
+        rows = [r.asDict() for r in tailer.lag_metrics().collect()]
+        print(json.dumps({"lag": rows}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
