@@ -45,9 +45,13 @@ class EngineConfig:
     num_buckets: int = 32
     salt_buckets: int = 8
     delete_mode: str = "drop"  # or "rewrite"
-    # "fused": pair+compact in one window pass (1 shuffle — default);
-    # "salted": separate pair then two-phase salted compaction
-    # (3 shuffles, survives pathological hot-key skew)
+    # state-path compaction strategy:
+    #  "fused"  (default) max_by hash aggregation — partial map-side
+    #           combine (shuffle O(keys x map_tasks), no sort,
+    #           inherently skew-proof)
+    #  "window" single window pass (sorts events; useful when the
+    #           winner's neighbors are also needed)
+    #  "salted" two-phase salted window (legacy skew handling)
     compaction_mode: str = "fused"
 
     # streaming

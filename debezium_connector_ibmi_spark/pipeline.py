@@ -121,19 +121,47 @@ def compact_for_state(journal_slice: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
     if cfg.compaction_mode == "salted":
         return salted_last_event_per_key(data, cfg.key_column, cfg.salt_buckets)
-    from pyspark.sql import Window
+    if cfg.compaction_mode == "window":
+        from pyspark.sql import Window
 
-    w = Window.partitionBy("table_name", cfg.key_column)
-    pos = F.struct(F.col("receiver_idx"), F.col("seq"))
-    last_pos = F.max(pos).over(
-        w.orderBy("receiver_idx", "seq").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
+        w = Window.partitionBy("table_name", cfg.key_column)
+        pos = F.struct(F.col("receiver_idx"), F.col("seq"))
+        last_pos = F.max(pos).over(
+            w.orderBy("receiver_idx", "seq").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
         )
+        return (
+            data.withColumn("__last", pos == last_pos)
+            .filter(F.col("__last"))
+            .drop("__last")
+        )
+    # default "fused"/"agg": max_by hash aggregation. Unlike the
+    # window (full sort of every event, all payload bytes shuffled),
+    # a hash agg does PARTIAL map-side combine — each map task ships
+    # at most one candidate row per key, so shuffle volume drops from
+    # O(events) to O(keys x map_tasks) and no sort happens at all.
+    # max_by is deterministic here because (receiver_idx, seq) is
+    # unique per entry. This is also inherently skew-proof: a hot
+    # key's events collapse map-side before they can pile onto one
+    # reducer (the salted mode remains for the window variants).
+    pos = F.struct(F.col("receiver_idx"), F.col("seq"))
+    payload = F.struct(
+        "receiver_idx", "seq", "op", "html", "warc_ts", "lang"
     )
     return (
-        data.withColumn("__last", pos == last_pos)
-        .filter(F.col("__last"))
-        .drop("__last")
+        data.groupBy("table_name", cfg.key_column)
+        .agg(F.max_by(payload, pos).alias("w"))
+        .select(
+            "table_name",
+            cfg.key_column,
+            "w.receiver_idx",
+            "w.seq",
+            "w.op",
+            "w.html",
+            "w.warc_ts",
+            "w.lang",
+        )
     )
 
 

@@ -68,14 +68,23 @@ def test_decode_udf_after_compaction(spark, journal_path):
     plan = _plan(current_state(j, EngineConfig()))
     # exactly one Python decode node (tree + details each mention it once)
     udf_ids = {int(m) for m in re.findall(r"ArrowEvalPython \((\d+)\)", plan)}
-    win_ids = {int(m) for m in re.findall(r"Window \((\d+)\)", plan)}
+    # compaction node: hash agg (default max_by mode) or window
+    comp_ids = {
+        int(m)
+        for pat in (r"HashAggregate \((\d+)\)", r"ObjectHashAggregate \((\d+)\)",
+                    r"SortAggregate \((\d+)\)", r"Window \((\d+)\)")
+        for m in re.findall(pat, plan)
+    }
     assert len(udf_ids) == 1, f"want exactly one decode UDF node, got {udf_ids}"
-    assert win_ids
+    assert comp_ids
     # formatted-plan node ids increase toward the root: the UDF must
-    # sit above (run after) every compaction window
-    assert min(udf_ids) > max(win_ids), (
-        "decode UDF must run after (above) compaction window"
+    # sit above (run after) the compaction
+    assert min(udf_ids) > max(comp_ids), (
+        "decode UDF must run after (above) compaction"
     )
+    # the default compaction is a hash agg with a partial (map-side)
+    # phase — no sort of the event payloads anywhere in the plan
+    assert "partial_max_by" in plan or "partial_max" in plan
 
 
 def test_dimension_joins_broadcast(spark):
