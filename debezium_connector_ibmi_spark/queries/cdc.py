@@ -137,7 +137,11 @@ def cdc_txn_group(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.min("event_id").alias("first_id"),
         F.max("event_id").alias("last_id"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        # integer cents so the SUM result type hashes identically on
+        # any engine (see queries/relational.py module doc)
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "total_value_c"
+        ),
     )
 
 
@@ -267,7 +271,8 @@ ORACLES = {
                count(*) AS n_events,
                min(event_id) AS first_id,
                max(event_id) AS last_id,
-               sum(CAST(value AS DECIMAL(18,2))) AS total_value
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_value_c
         FROM events GROUP BY 1
     """,
     "cdc_journal_lag": """

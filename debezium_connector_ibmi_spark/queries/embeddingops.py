@@ -160,23 +160,57 @@ def emb_cosine_near_dup_pairs(spark, sf_dir):
     )
 
 
-# --- IVF-style ANN: KMeans coarse quantizer, search nprobe cells -------
-def emb_ivf_topk(spark, sf_dir):
-    """IVF scale path: train a coarse quantizer (KMeans, seeded),
-    assign every vector to its nearest centroid cell, search each
-    query only in its own cell (nprobe=1) and rank by cosine.
-    Training is iterative/not SQL-expressible -> rows-only check."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+# --- IVF-style ANN: coarse quantizer cells, search nprobe cells --------
+_IVF_K = 8
+_IVF_SEED_MOD = 61
+_IVF_SEED_REM = 3
 
-    e = _emb(spark, sf_dir).withColumn(
-        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+
+def _ivf_assign_cells(e):
+    """Assign every vector to its nearest coarse-quantizer centroid.
+
+    The quantizer is DETERMINISTIC: the first _IVF_K vectors whose
+    vec_id ≡ _IVF_SEED_REM (mod _IVF_SEED_MOD), ordered by vec_id —
+    i.e. a fixed sample of the data itself (IVF does not require
+    k-means; any coarse quantizer defines valid cells, and a seeded
+    sample keeps the whole query SQL-expressible for the oracle).
+    Scale shape: centroids are broadcast (K rows), assignment is a
+    map-side crossJoin + per-vector argmax — no shuffle of the
+    embedding table beyond the rank window on vec_id."""
+    cents = (
+        e.filter(F.pmod(F.col("vec_id"), F.lit(_IVF_SEED_MOD)) == _IVF_SEED_REM)
+        .orderBy("vec_id")
+        .limit(_IVF_K)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centv"),
+        )
     )
-    km = KMeans(k=8, seed=42, maxIter=5, featuresCol="features")
-    model = km.fit(e)
-    assigned = model.transform(e).select(
-        "vec_id", "embedding", F.col("prediction").alias("cell")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("centroid_id")
     )
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            F.round(_cosine(F.col("embedding"), F.col("centv")), 6).alias(
+                "cos_c"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+    )
+
+
+def emb_ivf_topk(spark, sf_dir):
+    """IVF scale path: assign vectors to coarse-quantizer cells,
+    search each query only in its own cell (nprobe=1), rank by
+    cosine. Deterministic quantizer (see _ivf_assign_cells) so the
+    DuckDB oracle reproduces assignment + ranking exactly."""
+    assigned = _ivf_assign_cells(_emb(spark, sf_dir))
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell"
     )
@@ -202,11 +236,52 @@ def emb_ivf_topk(spark, sf_dir):
     )
 
 
+def emb_ivf_topk_kmeans(spark, sf_dir, k=8, max_iter=5, top_k=3):
+    """KMeans-trained coarse quantizer variant (the production path
+    when a trained quantizer is preferred over a sampled one).
+    Training is iterative / not SQL-expressible, so this is covered
+    by pytest (recall-vs-brute-force invariant), not the oracle gate."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = _emb(spark, sf_dir).withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    km = KMeans(k=k, seed=42, maxIter=max_iter, featuresCol="features")
+    model = km.fit(e)
+    assigned = model.transform(e).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    )
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell"
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell"
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 QUERIES = {
     "emb_knn_brute_force": emb_knn_brute_force,
     "emb_ann_lsh_bucket": emb_ann_lsh_bucket,
     "emb_cosine_near_dup_pairs": emb_cosine_near_dup_pairs,
-    "emb_ivf_topk": emb_ivf_topk,  # rows-only (iterative training)
+    "emb_ivf_topk": emb_ivf_topk,
 }
 
 ORACLES = {
@@ -242,5 +317,31 @@ ORACLES = {
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE {_cos_sql()} >= {_NEAR_DUP_COS}
+    """,
+    "emb_ivf_topk": f"""
+        WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding AS centv
+            FROM embeddings
+            WHERE vec_id % {_IVF_SEED_MOD} = {_IVF_SEED_REM}
+            ORDER BY vec_id LIMIT {_IVF_K}
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, centroid_id AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_cos_sql("e.embedding", "c.centv")} DESC,
+                                    c.centroid_id) AS rn
+                FROM embeddings e CROSS JOIN cents c
+            ) WHERE rn = 1
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_cos_sql()} DESC, b.vec_id) AS rank
+            FROM assigned a JOIN assigned b ON a.cell = b.cell
+            WHERE a.vec_id < {_N_QUERIES} AND a.vec_id <> b.vec_id
+        ) WHERE rank <= 3
     """,
 }

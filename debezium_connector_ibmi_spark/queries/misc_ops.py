@@ -53,7 +53,7 @@ def cdc_session_count(spark, sf_dir):
         df.withColumn("new_session", new_session)
         .groupBy("user_id")
         .agg(
-            F.sum("new_session").alias("n_sessions"),
+            F.sum("new_session").cast("long").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -92,20 +92,28 @@ def fn_object_split(spark, sf_dir):
 
 # --- rollup aggregation ------------------------------------------------------------
 def rel_rollup_status(spark, sf_dir):
+    """SUMs carried as integer cents (BIGINT) so the result hashes
+    identically on any engine — see queries/relational.py module doc."""
+    from debezium_connector_ibmi_spark.queries.relational import _units
+
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        F.sum(_units(F.col("o_totalprice"), 100)).alias("total_c"),
     )
 
 
 # --- manual pivot (conditional aggregation) -------------------------------------------
 def rel_pivot_returnflag(spark, sf_dir):
+    from debezium_connector_ibmi_spark.queries.relational import _units
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    dec = F.col("l_quantity").cast("decimal(18,2)")
+    qty_c = _units(F.col("l_quantity"), 100)
     return li.groupBy("l_returnflag").agg(
-        F.sum(F.when(F.col("l_linestatus") == "O", dec)).alias("qty_open"),
-        F.sum(F.when(F.col("l_linestatus") == "F", dec)).alias("qty_filled"),
+        F.sum(F.when(F.col("l_linestatus") == "O", qty_c)).alias("qty_open_c"),
+        F.sum(F.when(F.col("l_linestatus") == "F", qty_c)).alias(
+            "qty_filled_c"
+        ),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -128,7 +136,7 @@ ORACLES = {
     """,
     "cdc_session_count": """
         SELECT user_id,
-               sum(new_session) AS n_sessions,
+               CAST(sum(new_session) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM (
             SELECT user_id,
@@ -167,16 +175,19 @@ ORACLES = {
     "rel_rollup_status": """
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_c
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
     "rel_pivot_returnflag": """
         SELECT l_returnflag,
-               sum(CASE WHEN l_linestatus = 'O'
-                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_open,
-               sum(CASE WHEN l_linestatus = 'F'
-                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_filled,
+               CAST(sum(CASE WHEN l_linestatus = 'O'
+                        THEN CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                        END) AS BIGINT) AS qty_open_c,
+               CAST(sum(CASE WHEN l_linestatus = 'F'
+                        THEN CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                        END) AS BIGINT) AS qty_filled_c,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag
     """,

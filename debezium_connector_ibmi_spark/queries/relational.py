@@ -2,10 +2,16 @@
 (SURVEY.md §2.6) realized with Spark built-ins: hash/broadcast joins,
 semi/anti joins, aggregations, ranking windows, sorts/limits.
 
-Plan notes (scale): dimension tables (region/nation/customer/
-supplier/part) are broadcast — no shuffle of the fact side; the Q1
-style aggregation is partial+final hash agg; decimal sums keep the
-oracle comparison exact (double sums are order-dependent).
+Plan notes (scale): only genuinely small dimension tables (nation=25
+rows, region=5 rows) are broadcast; fact⋈fact joins (lineitem⋈orders,
+⋈customer) shuffle on their keys and AQE picks the strategy at
+runtime — broadcasting a fact-sized table OOMs executors at 100×.
+Money aggregates are summed as integer units (cents, via
+floor(x*scale+0.5) on the IEEE double) so the result is a BIGINT
+that hashes identically across engines — decimal/double SUM results
+carry engine-specific result-type widening (DuckDB → DECIMAL(38,x)/
+HUGEINT vs Spark decimal(28,x)/bigint) that breaks byte-stable
+comparison even when values agree.
 """
 
 from __future__ import annotations
@@ -17,41 +23,55 @@ def _t(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _units(col, scale):
+    """Integer units of a double money/qty column: floor(x*scale+0.5)
+    as BIGINT. Pure IEEE-double arithmetic + exact floor, so Spark and
+    any ANSI engine produce bit-identical integers."""
+    return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("long")
+
+
 # --- TPC-H Q1-style pricing summary (hash agg, partial+final) -----------
 def rel_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(_units(F.col("l_quantity"), 100)).alias("sum_qty_c"),
+            F.sum(_units(F.col("l_extendedprice"), 100)).alias(
+                "sum_base_price_c"
+            ),
             F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,4)"
+                _units(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    10000,
                 )
-            ).alias("sum_disc_price"),
+            ).alias("sum_disc_price_c4"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
-# --- broadcast-join star query: revenue by nation ------------------------
+# --- star-schema join query: revenue by nation ----------------------------
 def rel_revenue_by_nation(spark, sf_dir):
+    """lineitem⋈orders⋈customer⋈nation revenue rollup. Only `nation`
+    (25 rows) is broadcast-hinted; the fact-side joins shuffle on
+    their keys (AQE re-plans at runtime). Pinned by
+    tests/test_plan_shape.py: no broadcast of orders/customer."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
+    rev_c4 = _units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(
+            F.sum(rev_c4).alias("revenue_c4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )
 
 
@@ -106,10 +126,13 @@ QUERIES = {
 ORACLES = {
     "rel_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-                   AS sum_disc_price,
+               CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_qty_c,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_base_price_c,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_disc_price_c4,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= DATE '1998-09-02'
@@ -117,8 +140,9 @@ ORACLES = {
     """,
     "rel_revenue_by_nation": """
         SELECT n_name,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-                   AS revenue,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_c4,
                count(*) AS n_items
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey

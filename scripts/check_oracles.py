@@ -22,15 +22,20 @@ TABLES = (
 
 
 def norm_cell(v):
+    """STRICT normalization, mirroring the driver's value hash: no
+    float rounding, no Decimal rescaling. A Decimal('550.00') and a
+    float 550.0 must NOT compare equal — the driver's hash sees the
+    representation, so we must too (round-1 lesson: the lenient 6-sig-
+    fig version hid six hash_match failures)."""
     if v is None:
         return "∅"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
-    return str(v)
+    return f"{type(v).__name__}:{v}"
 
 
 def norm_rows(cols, rows):
