@@ -39,9 +39,13 @@ HEADLINE = [
     "doc_minhash_signature",
     "doc_lsh_near_dup_pairs",
     "doc_simhash",
-    "doc_ngram_jaccard_pairs",
+    # the scale near-dup path (banded LSH -> jaccard verify on
+    # candidates); the all-pairs doc_ngram_jaccard_pairs is oracle-
+    # mode only and intentionally NOT benchmarked
+    "doc_near_dup_verified",
     "emb_knn_brute_force",
     "emb_ann_lsh_bucket",
+    "emb_ivf_topk",
 ]
 
 

@@ -37,6 +37,33 @@ def last_event_per_key(
     )
 
 
+def last_event_per_key_agg(
+    events: DataFrame,
+    key: str = "url",
+    order_cols: tuple[str, ...] = ORDER_COLS,
+    payload_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Hash-agg last-per-key: ``max_by(payload, position)``.
+
+    The engine's default compaction plan (same shape as
+    ``pipeline.compact_for_state``): a hash aggregation with PARTIAL
+    map-side combine — each map task ships at most one candidate row
+    per key, so shuffle volume is O(keys × map_tasks) instead of
+    O(events), no sort anywhere, and hot keys collapse before they
+    can pile onto one reducer (inherently skew-proof). Requires
+    ``order_cols`` to be unique per key (positions are), otherwise
+    max_by ties are non-deterministic.
+    """
+    payload_cols = tuple(payload_cols or [c for c in events.columns if c != key])
+    pos = F.struct(*[F.col(c) for c in order_cols])
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    return (
+        events.groupBy(key)
+        .agg(F.max_by(payload, pos).alias("__w"))
+        .select(key, *[F.col(f"__w.{c}").alias(c) for c in payload_cols])
+    )
+
+
 def salted_last_event_per_key(
     events: DataFrame,
     key: str = "url",

@@ -11,9 +11,10 @@ Design notes for scale:
   (no shuffle); only the LSH band join shuffles, and it shuffles the
   melted (id, band_idx, band) table — bands_per_doc rows per doc, not
   the documents.
-- Jaccard verification joins on shingles: pre-`distinct` per doc
-  bounds the join input; at 100 TB you'd band first (LSH) and verify
-  jaccard only on candidate pairs.
+- Jaccard verification: the scale path is
+  ``lsh_verified_near_dups`` — band first (LSH), verify jaccard only
+  on candidate pairs; the all-pairs ``jaccard_pairs`` is kept as the
+  small-scale oracle/ground-truth mode.
 """
 
 from __future__ import annotations
@@ -220,8 +221,12 @@ def jaccard_pairs(
     threshold_num: int = 3,
     threshold_den: int = 10,
 ) -> DataFrame:
-    """n-gram Jaccard near-dup pairs with an integer-exact threshold
-    (jaccard >= num/den)."""
+    """ALL-PAIRS n-gram Jaccard — small-scale ORACLE MODE only.
+
+    The shingle self-join is quadratic in docs sharing a hot shingle;
+    at corpus scale use :func:`lsh_verified_near_dups`, which feeds
+    banded-LSH candidates into the same integer-exact verification.
+    Kept as the exhaustive ground truth for recall measurement."""
     d = df.filter(F.size(words_col(text)) >= n)
     sh = d.select(F.col(id_col), F.explode(shingles(text, n)).alias("shingle")).distinct()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -232,6 +237,54 @@ def jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(
+            threshold_den * F.col("inter")
+            >= threshold_num * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .select("id_a", "id_b", "inter", "na", "nb")
+    )
+
+
+def lsh_verified_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    seeds: tuple[str, ...] = ("s0", "s1", "s2", "s3"),
+    n: int = 3,
+    rows_per_band: int = 2,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """The scale-safe near-dup pipeline: banded-LSH candidates →
+    integer-exact Jaccard verification on candidate pairs ONLY.
+
+    Cost shape at 100 TB: the candidate set is bounded by LSH bucket
+    collisions (b×r banding), and the verify stage's two equi-joins
+    move O(candidate_pairs × shingles_per_doc) rows — never the
+    quadratic all-pairs shingle self-join of :func:`jaccard_pairs`.
+    Recall is the LSH recall (a pair missed by every band is never
+    verified); precision is exact, because verification recomputes
+    true Jaccard on the full shingle sets.
+    """
+    cand = lsh_candidate_pairs(df, id_col, text, seeds, n, rows_per_band)
+    d = df.filter(F.size(words_col(text)) >= n)
+    sh = d.select(
+        F.col(id_col), F.explode(shingles(text, n)).alias("shingle")
+    ).distinct()
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))

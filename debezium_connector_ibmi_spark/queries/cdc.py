@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from debezium_connector_ibmi_spark.operators.compaction import (
     last_event_per_key,
+    last_event_per_key_agg,
     salted_last_event_per_key,
 )
 from debezium_connector_ibmi_spark.operators.filters import resume_filter
@@ -77,10 +78,15 @@ def cdc_resume_predicate(spark, sf_dir):
     )
 
 
-# --- last-per-key compaction (the upsert-materialization window) ------
+# --- last-per-key compaction (the engine's max_by hash-agg plan) ------
 def cdc_last_per_key(spark, sf_dir):
+    """Default compaction plan: max_by hash agg with map-side partial
+    combine (shuffle O(keys×map_tasks), skew-proof). The window
+    variant is pinned separately by cdc_last_per_key_salted."""
     df = _events(spark, sf_dir)
-    last = last_event_per_key(df, key="user_id", order_cols=("ts", "event_id"))
+    last = last_event_per_key_agg(
+        df, key="user_id", order_cols=("ts", "event_id")
+    )
     return last.select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
@@ -216,8 +222,11 @@ def cdc_snapshot_handover(spark, sf_dir):
 
 # --- flagship: changelog materialization (last-per-key, drop deletes) ------
 def cdc_changelog_materialize(spark, sf_dir):
+    """Flagship contract query — exercises the engine's default
+    max_by hash-agg compaction (pipeline.compact_for_state shape),
+    not the window fallback."""
     df = _events(spark, sf_dir).withColumn("op", _op())
-    last = last_event_per_key(df, key="user_id", order_cols=("event_id",))
+    last = last_event_per_key_agg(df, key="user_id", order_cols=("event_id",))
     return last.filter(F.col("op") != "d").select(
         "user_id",
         F.col("event_id").alias("last_event_id"),

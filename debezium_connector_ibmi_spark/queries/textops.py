@@ -129,7 +129,30 @@ _SIMHASH_SQL = (
 )
 
 
+def doc_near_dup_verified(spark, sf_dir):
+    """The composed scale path: banded-LSH candidates → exact n-gram
+    Jaccard verification on candidates only (no all-pairs shingle
+    self-join anywhere in the plan — pinned by
+    tests/test_plan_shape.py)."""
+    return (
+        ta.lsh_verified_near_dups(
+            _docs(spark, sf_dir),
+            id_col="doc_id",
+            seeds=_SEEDS,
+            n=_N_SHINGLE,
+            threshold_num=3,
+            threshold_den=10,
+        )
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+    )
+
+
 def doc_ngram_jaccard_pairs(spark, sf_dir):
+    """All-pairs exhaustive Jaccard — ground-truth/oracle mode (the
+    scale path is doc_near_dup_verified). Kept as a contract query so
+    the exhaustive semantics stay pinned, but it is NOT the plan a
+    100 TB corpus would run."""
     return (
         ta.jaccard_pairs(
             _docs(spark, sf_dir),
@@ -209,6 +232,7 @@ QUERIES = {
     "doc_minhash_signature": doc_minhash_signature,
     "doc_lsh_near_dup_pairs": doc_lsh_near_dup_pairs,
     "doc_simhash": doc_simhash,
+    "doc_near_dup_verified": doc_near_dup_verified,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
 }
 
@@ -275,5 +299,44 @@ ORACLES = {
            OR (a.minhash_2 = b.minhash_2 AND a.minhash_3 = b.minhash_3))
     """,
     "doc_simhash": _SIMHASH_SQL,
+    "doc_near_dup_verified": f"""
+        WITH sig AS ({_MINHASH_SQL}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             AND ((a.minhash_0 = b.minhash_0 AND a.minhash_1 = b.minhash_1)
+               OR (a.minhash_2 = b.minhash_2 AND a.minhash_3 = b.minhash_3))
+        ), w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ), pos AS (
+            SELECT doc_id, unnest(words) AS word,
+                   generate_subscripts(words, 1) AS p
+            FROM w
+        ), sh0 AS (
+            SELECT doc_id,
+                   word || ' ' || lead(word, 1) OVER win || ' ' ||
+                   lead(word, 2) OVER win AS shingle,
+                   p, count(*) OVER (PARTITION BY doc_id) AS n_words
+            FROM pos
+            WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+            QUALIFY p <= n_words - 2
+        ), sh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh0
+        ), counts AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, inter, ca.n_sh AS na, cb.n_sh AS nb
+        FROM inter
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        WHERE 10 * inter >= 3 * (ca.n_sh + cb.n_sh - inter)
+    """,
     "doc_ngram_jaccard_pairs": _JACCARD_SQL,
 }
