@@ -45,6 +45,45 @@ def charset_decode_udf(ccsid: int, overrides: dict[int, int] | None = None):
     return _decode
 
 
+def bytes_per_char(length: int, octet_length: int) -> int:
+    """C7 helper: bytes-per-character for a column, from the catalog's
+    character length vs octet (buffer) length — ``max(1,
+    octet_length // length)`` (BytesPerChar.java:61-67). 1 for
+    single-byte CCSIDs, 2 for GRAPHIC/UTF-16."""
+    bpc = octet_length // length if length else 1
+    return 1 if bpc < 1 else bpc
+
+
+def varchar_decode_udf(
+    ccsid: int, bpc: int = 1, overrides: dict[int, int] | None = None
+):
+    """C7: VARCHAR/VARGRAPHIC buffer decode (AS400VarChar.java:89-96).
+
+    The first 2 bytes are a big-endian signed short holding the value
+    length in CHARACTERS (not bytes); the payload is ``chars * bpc``
+    bytes starting at offset 2, decoded with the CCSID charset. Any
+    trailing buffer bytes beyond the declared length are padding and
+    MUST be ignored (the wire buffer is allocated at max length).
+    Vectorized pandas UDF — one Python call per Arrow batch.
+    """
+    effective = (overrides or {}).get(ccsid, ccsid)
+    codec = CCSID_CODECS.get(effective)
+    if codec is None:
+        raise ValueError(f"unsupported CCSID {effective}")
+
+    @F.pandas_udf(StringType())
+    def _decode(b: pd.Series) -> pd.Series:
+        def go(x):
+            if x is None:
+                return None
+            n_chars = int.from_bytes(x[:2], "big", signed=True)
+            return x[2 : 2 + n_chars * bpc].decode(codec)
+
+        return b.map(go)
+
+    return _decode
+
+
 def parse_default_value(type_name: str, literal: str | None):
     """C9: DDL default literal -> typed Python value
     (As400DefaultValueConverter semantics: trimmed literals, quoted

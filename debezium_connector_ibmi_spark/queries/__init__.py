@@ -12,11 +12,12 @@ from debezium_connector_ibmi_spark.queries import (
     cdc,
     embeddingops,
     misc_ops,
+    parity_ops,
     relational,
     textops,
 )
 
-_MODULES = (cdc, relational, textops, embeddingops, misc_ops)
+_MODULES = (cdc, relational, textops, embeddingops, misc_ops, parity_ops)
 
 
 def all_queries():

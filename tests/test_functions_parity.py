@@ -88,6 +88,52 @@ def test_charset_decode_ebcdic(spark):
     assert got == special
 
 
+def test_varchar_decode_length_prefix(spark):
+    """C7: 2-byte char-count prefix × bytesPerChar buffer slice before
+    charset decode (AS400VarChar.java:89-96) — golden strings from the
+    reference's JournalEntryDecoderTestIT (Paßstraße, Maſʒſtab)."""
+    from debezium_connector_ibmi_spark.functions.typeconv import (
+        bytes_per_char,
+        varchar_decode_udf,
+    )
+
+    # catalog-derived bytes-per-char (BytesPerChar.java:61-67)
+    assert bytes_per_char(10, 10) == 1
+    assert bytes_per_char(10, 20) == 2
+    assert bytes_per_char(10, 5) == 1  # never below 1
+    assert bytes_per_char(0, 0) == 1
+
+    def buf(s: str, codec: str, bpc: int, max_chars: int) -> bytes:
+        body = s.encode(codec)
+        pad = b"\x40" * (max_chars * bpc - len(body))  # EBCDIC-space pad
+        return len(s).to_bytes(2, "big") + body + pad
+
+    # single-byte EBCDIC VARCHAR(20): padding beyond len must be cut
+    text1 = "Paßstraße"
+    df1 = spark.createDataFrame(
+        [(buf(text1, "cp037", 1, 20),), (None,)], "payload binary"
+    )
+    got1 = df1.select(varchar_decode_udf(37, bpc=1)("payload").alias("s")).collect()
+    assert got1[0]["s"] == text1
+    assert got1[1]["s"] is None
+
+    # VARGRAPHIC (UTF-16, 2 bytes/char): length prefix counts CHARS
+    text2 = "Maſʒſtab"  # Maſʒſtab
+    df2 = spark.createDataFrame(
+        [(buf(text2, "utf-16-be", 2, 16),)], "payload binary"
+    )
+    got2 = df2.select(
+        varchar_decode_udf(13488, bpc=2)("payload").alias("s")
+    ).collect()
+    assert got2[0]["s"] == text2
+
+    # empty value: zero-length prefix over a padded buffer
+    df3 = spark.createDataFrame([(buf("", "cp037", 1, 8),)], "payload binary")
+    assert df3.select(
+        varchar_decode_udf(37, bpc=1)("payload").alias("s")
+    ).collect()[0]["s"] == ""
+
+
 def test_decode_cyymmddhhmmss(spark):
     from debezium_connector_ibmi_spark.functions.typeconv import (
         decode_cyymmddhhmmss,
