@@ -111,6 +111,38 @@ def main():
             f" {events_per_sec}/s",
             file=sys.stderr,
         )
+
+        # binary-header variant: same journal packed into 63-byte
+        # header blobs, decoded in-pipeline (C1/C2) by the tailer
+        from debezium_connector_ibmi_spark.sources.journal_source import (
+            read_journal,
+            write_binary_journal,
+        )
+
+        write_binary_journal(
+            read_journal(spark, f"{work}/journal"),
+            f"{work}/journal_bin",
+            num_files=CPUS * 2,
+        )
+        cfg_bin = EngineConfig(
+            journal_path=f"{work}/journal_bin",
+            target_path=f"{work}/target_bin",
+            max_entries_per_batch=(BENCH_OPS * 6) // 4 + 1,
+            num_buckets=CPUS,
+            salt_buckets=8,
+            journal_format="binary",
+        )
+        t0 = time.time()
+        stats_bin = JournalTailer(spark, cfg_bin).run_to_head()
+        bin_sec = time.time() - t0
+        n_events_bin = sum(s.get("events", 0) for s in stats_bin)
+        timings["cdc_apply_e2e_binary"] = round(bin_sec, 3)
+        bin_eps = round(n_events_bin / bin_sec, 1) if bin_sec else 0.0
+        print(
+            f"# cdc_apply_e2e_binary: {bin_sec:.1f}s, {n_events_bin}"
+            f" entries, {bin_eps}/s",
+            file=sys.stderr,
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
         if os.environ.get("SPARK_GRAFT_LOCAL_DIR", "").startswith("/dev/shm/"):
@@ -127,6 +159,7 @@ def main():
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "cdc_events_applied": n_events,
                 "cdc_events_per_sec": events_per_sec,
+                "cdc_events_per_sec_binary": bin_eps,
                 "cpus": CPUS,
             }
         )

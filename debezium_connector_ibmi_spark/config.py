@@ -41,6 +41,11 @@ class EngineConfig:
     # batch planning (T3 ReceiverPagination analogue)
     max_entries_per_batch: int = 1_000_000
 
+    # journal layout: "columnar" (parquet columns) or "binary" (packed
+    # 63-byte header blobs decoded in-pipeline by C1/C2 — the raw
+    # RJNE0200-buffer analogue)
+    journal_format: str = "columnar"
+
     # target layout / merge strategy
     num_buckets: int = 32
     salt_buckets: int = 8

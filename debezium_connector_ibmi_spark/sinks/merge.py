@@ -80,6 +80,22 @@ class KeyBucketedTarget:
         c = self.last_commit()
         return -1 if c is None else int(c.get("batch_id", -1))
 
+    def last_writer_batch_id(self, writer_id: str) -> int:
+        """Highest writer-domain batch id committed by ``writer_id``
+        (walks commits newest-first). The sink's global ``batch_id``
+        is one monotone counter; writer ids namespace the REPLAY
+        fence so two id domains (tailer counter vs streaming
+        epoch_id) can never silently skip each other's batches."""
+        for v in range(self._latest_version(), -1, -1):
+            try:
+                with open(f"{self.path}/_commits/{v}.json") as fh:
+                    c = json.load(fh)
+            except FileNotFoundError:
+                continue
+            if c.get("writer_id") == writer_id:
+                return int(c.get("writer_batch_id", -1))
+        return -1
+
     def schema_version(self) -> int:
         """Highest applied schema-evolution version (T12 fence)."""
         c = self.last_commit()
@@ -101,13 +117,17 @@ class KeyBucketedTarget:
 
     def _conform(self, df: DataFrame, decl: list[list[str]]) -> DataFrame:
         """Make ``df`` match the declared schema: add missing declared
-        columns as null casts, project in declared order (extra
-        undeclared columns are dropped)."""
+        columns as null casts, cast PRESENT columns to their declared
+        types, project in declared order (extra undeclared columns are
+        dropped). The present-column cast matters after a 'widen'
+        evolution: without it a source still emitting the old narrow
+        type writes mixed-type parquet across bucket versions and
+        plain reads (no mergeSchema) fail."""
         cols = []
         have = {c.lower() for c in df.columns}
         for name, dtype in decl:
             if name.lower() in have:
-                cols.append(F.col(name))
+                cols.append(F.col(name).cast(dtype).alias(name))
             else:
                 cols.append(F.lit(None).cast(dtype).alias(name))
         return df.select(*cols)
@@ -285,17 +305,35 @@ class KeyBucketedTarget:
         batch_id: int,
         watermark: tuple[int, int] | None = None,
         partitions: list[dict] | None = None,
+        writer_id: str | None = None,
     ) -> dict:
         """Upsert a compacted batch (one row per key, with ``op``).
 
-        Returns stats dict. Idempotent: a batch_id <= the last
-        committed one is skipped outright; re-running the *same*
-        batch after a crash-before-commit rewrites the same buckets
+        Returns stats dict. Idempotent: a replayed batch is skipped
+        at the fence; re-running the *same* batch after a
+        crash-before-commit rewrites the same buckets
         deterministically (copy-on-write), so the flip of ``_latest``
         is the only visible state change.
+
+        Fence domains: without ``writer_id`` the raw ``batch_id`` is
+        compared against the global counter (the tailer, which derives
+        its ids from ``last_batch_id()+1``). WITH ``writer_id`` (the
+        streaming path, whose ``batch_id`` is Spark's epoch_id — an
+        independent id domain), replay detection compares only against
+        ids previously committed by the SAME writer, and the committed
+        global batch_id is re-based to ``last_batch_id()+1``. This
+        prevents the silent-loss scenario where early stream epochs
+        (epoch_id <= last tailer batch id) skip their merge while the
+        stream checkpoint still marks those files consumed.
         """
-        if batch_id <= self.last_batch_id():
-            return {"skipped": True, "batch_id": batch_id}
+        if writer_id is None:
+            if batch_id <= self.last_batch_id():
+                return {"skipped": True, "batch_id": batch_id}
+            effective_id = batch_id
+        else:
+            if batch_id <= self.last_writer_batch_id(writer_id):
+                return {"skipped": True, "batch_id": batch_id}
+            effective_id = self.last_batch_id() + 1
 
         from debezium_connector_ibmi_spark.operators.compaction import (
             last_event_per_key,
@@ -382,7 +420,7 @@ class KeyBucketedTarget:
             new_wm = prev_wm
         commit = {
             "version": version,
-            "batch_id": batch_id,
+            "batch_id": effective_id,
             "buckets": bucket_map,
             "watermark": new_wm,
             "partitions": partitions or [],
@@ -391,10 +429,13 @@ class KeyBucketedTarget:
             "schema_version": (last or {}).get("schema_version", -1),
             "schema": decl,
         }
+        if writer_id is not None:
+            commit["writer_id"] = writer_id
+            commit["writer_batch_id"] = batch_id
         self._write_commit(commit)
         return {
             "skipped": False,
-            "batch_id": batch_id,
+            "batch_id": effective_id,
             "version": version,
             "buckets_touched": touched,
         }

@@ -139,6 +139,30 @@ def from_binary_journal(binary_journal: DataFrame) -> DataFrame:
     )
 
 
+def read_binary_journal(spark: SparkSession, path: str) -> DataFrame:
+    """S2 binary variant: read packed 63-byte header blobs and decode
+    them (C1/C2) back into the standard journal columns, in-pipeline.
+
+    Planning/filtering run over the DECODED plan: ``receiver_idx``
+    stays a real partition column (pruning still reaches the scan),
+    while ``seq`` predicates apply after the vectorized header decode
+    — the reference likewise decodes entry headers to navigate a raw
+    RJNE0200 buffer (RetrieveJournal.java:77-138)."""
+    return from_binary_journal(spark.read.parquet(path))
+
+
+def write_binary_journal(journal: DataFrame, path: str, num_files: int = 8) -> None:
+    """Materialize a journal in the packed binary-header layout
+    (partitioned by receiver_idx like the columnar layout)."""
+    (
+        to_binary_journal(journal)
+        .repartition(num_files)
+        .write.mode("overwrite")
+        .partitionBy("receiver_idx")
+        .parquet(path)
+    )
+
+
 def read_journal_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -67,8 +67,23 @@ def prepare_batch(journal_slice: DataFrame, cfg: EngineConfig) -> DataFrame:
     return with_text(last).select(*_merge_columns())
 
 
+def _require_single_table(cfg: EngineConfig) -> None:
+    """The sink's state is keyed by ``cfg.key_column`` alone (the
+    reference keeps one topic/table per source table); two tables
+    sharing a key in one target would clobber each other's rows.
+    One KeyBucketedTarget per table — fan out multiple tables to
+    multiple targets."""
+    if len(cfg.table_include_list) != 1:
+        raise ValueError(
+            "one target per table: table_include_list must contain "
+            f"exactly one table, got {cfg.table_include_list!r} — "
+            "run one pipeline (journal_path/target_path pair) per table"
+        )
+
+
 class JournalTailer:
     def __init__(self, spark: SparkSession, cfg: EngineConfig, evolution=None):
+        _require_single_table(cfg)
         self.spark = spark
         self.cfg = cfg
         self.evolution = evolution  # EvolutionSpec or None
@@ -79,6 +94,19 @@ class JournalTailer:
             num_buckets=cfg.num_buckets,
             delete_mode=cfg.delete_mode,
         )
+
+    def _read_journal(self) -> DataFrame:
+        """Journal scan in the configured layout. Binary = packed
+        header blobs decoded in-pipeline (C1/C2); receiver_idx
+        partition pruning still reaches the scan, seq range predicates
+        apply post-decode."""
+        if self.cfg.journal_format == "binary":
+            from debezium_connector_ibmi_spark.sources.journal_source import (
+                read_binary_journal,
+            )
+
+            return read_binary_journal(self.spark, self.cfg.journal_path)
+        return read_journal(self.spark, self.cfg.journal_path)
 
     def _apply_schema_changes(self, sliced: DataFrame) -> list[int]:
         """T12: D.CG/D.CT entries in the batch range -> ordered,
@@ -195,7 +223,7 @@ class JournalTailer:
         analogue). Each batch is planned from the sink's committed
         watermark, so killing the process anywhere and rerunning
         resumes correctly."""
-        journal = read_journal(self.spark, self.cfg.journal_path)
+        journal = self._read_journal()
         chain = usable_chain(receiver_lineage(journal))
         out = []
         # T6: invalid-position triage before the loop (the reference's
@@ -241,7 +269,7 @@ class JournalTailer:
         journal head vs the sink's applied per-partition watermarks."""
         from debezium_connector_ibmi_spark.operators.transactions import journal_lag
 
-        journal = read_journal(self.spark, self.cfg.journal_path)
+        journal = self._read_journal()
         lineage_rows = self.target.lineage()
         if lineage_rows:
             applied = self.spark.createDataFrame(
@@ -272,6 +300,7 @@ def run_structured_stream(
         read_journal_stream,
     )
 
+    _require_single_table(cfg)
     target = KeyBucketedTarget(
         spark,
         cfg.target_path,
@@ -280,16 +309,35 @@ def run_structured_stream(
         delete_mode=cfg.delete_mode,
     )
 
+    def _stream_writer_id() -> str:
+        """Identity of this stream's epoch-id domain: the streaming
+        query id Spark persists in the checkpoint metadata — stable
+        across restarts of the SAME checkpoint (replayed epochs fence
+        correctly) and fresh for a recreated checkpoint dir (epochs
+        restarting at 0 re-base instead of silently skipping against
+        tailer batch ids or a previous stream's epochs)."""
+        import json as _json
+
+        try:
+            with open(f"{cfg.checkpoint_path.rstrip('/')}/metadata") as fh:
+                return "stream-" + _json.load(fh)["id"]
+        except (FileNotFoundError, KeyError, ValueError):
+            return "stream-" + cfg.checkpoint_path
+
     def apply_batch(df: DataFrame, epoch_id: int):
         # persist: the sink takes two actions over the batch
         batch = prepare_batch(df, cfg).persist()
         wm = df.agg(
             F.max(F.struct(F.col("receiver_idx"), F.col("seq"))).alias("w")
         ).collect()[0]["w"]
+        # epoch_id is a DIFFERENT id domain than the tailer's
+        # last_batch_id()+1 counter — namespace the fence per writer
+        # so mixed tail/stream runs on one target can't silently skip
         target.merge(
             batch,
             batch_id=epoch_id,
             watermark=(wm["receiver_idx"], wm["seq"]) if wm else None,
+            writer_id=_stream_writer_id(),
         )
         batch.unpersist()
 

@@ -66,3 +66,53 @@ def test_state_equivalent_via_binary_path(spark):
     )
     assert direct == via_binary
     j.unpersist()
+
+
+def test_tailer_over_binary_journal_replays_identically(spark, tmpdir_path):
+    """VERDICT round-1 item 9: drive the TAILER (plan -> slice ->
+    merge, multiple batches, kill-free replay fence) over the binary
+    journal layout; final state and watermark must match the columnar
+    run exactly — C1/C2 decode exercised inside the pipeline, not
+    standalone."""
+    from debezium_connector_ibmi_spark.sinks.merge import KeyBucketedTarget
+    from debezium_connector_ibmi_spark.sources.journal_source import (
+        write_binary_journal,
+    )
+    from debezium_connector_ibmi_spark.streaming.engine import JournalTailer
+
+    j = generate_journal(spark, GEN).cache()
+    j.write.mode("overwrite").partitionBy("receiver_idx").parquet(
+        f"{tmpdir_path}/jcol"
+    )
+    write_binary_journal(j, f"{tmpdir_path}/jbin", num_files=4)
+    j.unpersist()
+
+    def run(journal_path, target, fmt):
+        cfg = EngineConfig(
+            journal_path=journal_path,
+            target_path=f"{tmpdir_path}/{target}",
+            max_entries_per_batch=120,  # force several micro-batches
+            num_buckets=4,
+            journal_format=fmt,
+        )
+        stats = JournalTailer(spark, cfg).run_to_head()
+        t = KeyBucketedTarget(spark, cfg.target_path, num_buckets=4)
+        return stats, t
+
+    stats_c, t_c = run(f"{tmpdir_path}/jcol", "tc", "columnar")
+    stats_b, t_b = run(f"{tmpdir_path}/jbin", "tb", "binary")
+    assert len(stats_b) == len(stats_c) > 1
+    assert t_b.watermark() == t_c.watermark()
+    cols = ["url", "text", "lang", "receiver_idx", "seq"]
+    sc = state_df_to_dict(t_c.read().select(*cols))
+    sb = state_df_to_dict(t_b.read().select(*cols))
+    assert sb == sc
+    # binary rerun when caught up: zero batches (resume fence intact)
+    cfg_b = EngineConfig(
+        journal_path=f"{tmpdir_path}/jbin",
+        target_path=f"{tmpdir_path}/tb",
+        max_entries_per_batch=120,
+        num_buckets=4,
+        journal_format="binary",
+    )
+    assert JournalTailer(spark, cfg_b).run_to_head() == []
