@@ -96,6 +96,31 @@ class KeyBucketedTarget:
                 return int(c.get("writer_batch_id", -1))
         return -1
 
+    def record_writer_progress(self, writer_id: str, batch_id: int) -> bool:
+        """Advance a writer's fence WITHOUT data (e.g. a signal that
+        was inspected and ignored): a metadata-only commit carrying
+        the writer id. Returns False if already recorded."""
+        if batch_id <= self.last_writer_batch_id(writer_id):
+            return False
+        last = self.last_commit() or {
+            "version": -1,
+            "batch_id": -1,
+            "buckets": {},
+            "watermark": None,
+            "schema_version": -1,
+        }
+        commit = {
+            **last,
+            "version": self._latest_version() + 1,
+            "partitions": [],  # lineage rows belong to merge commits only
+            "ts": time.time(),
+            "kind": "writer_progress",
+            "writer_id": writer_id,
+            "writer_batch_id": batch_id,
+        }
+        self._write_commit(commit)
+        return True
+
     def schema_version(self) -> int:
         """Highest applied schema-evolution version (T12 fence)."""
         c = self.last_commit()

@@ -99,6 +99,62 @@ def test_snapshot_head_recorded_before_load(spark, tmpdir_path):
     assert stats == []  # caught up: snapshot covered everything
 
 
+def test_signal_driven_resnapshot(spark, tmpdir_path):
+    """Reference SignalProcessor semantics
+    (As400ConnectorTask.java:121-150): an execute-snapshot signal
+    re-snapshots the table while streaming state wins on position;
+    signal processing is exactly-once via the writer-namespaced
+    fence (replayed signals skip)."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_ibmi_spark.streaming.signals import (
+        EXECUTE_SNAPSHOT,
+        SignalProcessor,
+        send_signal,
+    )
+
+    journal = f"{tmpdir_path}/journal"
+    cfg = _cfg(tmpdir_path, journal)
+    pages = generate_pages(spark, GEN).drop("version")
+    initial_snapshot(spark, cfg, pages)
+    write_journal(spark, GEN, journal, num_files=4)
+    tailer = JournalTailer(spark, cfg)
+    assert tailer.run_to_head()
+    before = state_df_to_dict(tailer.target.read().drop("bucket"))
+
+    # source table now carries 3 extra rows the journal never saw
+    # (e.g. restored from an out-of-band load) plus stale copies of
+    # every journal-updated row — the signal snapshot must add the
+    # former and lose to the latter
+    extra = pages.limit(3).withColumn(
+        "url", F.concat(F.col("url"), F.lit("?backfill=1"))
+    )
+    pages2 = pages.unionByName(extra)
+    sp = SignalProcessor(spark, cfg, lambda table: pages2)
+    assert sp.poll() == []  # empty channel
+
+    send_signal(
+        spark, sp.signal_path, 1, EXECUTE_SNAPSHOT,
+        {"data-collections": ["PAGES"]},
+    )
+    res = sp.poll()
+    assert len(res) == 1 and res[0]["skipped"] is False
+    after = state_df_to_dict(tailer.target.read().drop("bucket"))
+    assert sum(1 for u in after if u.endswith("?backfill=1")) == 3
+    # every streamed row keeps its (newer-position) value
+    for u, v in before.items():
+        assert after[u] == v, u
+    # replayed poll: nothing pending (fence remembers signal 1)
+    assert sp.poll() == []
+    # signals for other tables are ignored, but still fenced
+    send_signal(
+        spark, sp.signal_path, 2, EXECUTE_SNAPSHOT,
+        {"data-collections": ["OTHERTBL"]},
+    )
+    assert sp.poll()[0]["ignored"] == "other-table"
+    assert sp.poll() == []  # the ignored signal does not repeat
+
+
 def test_detect_new_tables():
     assert detect_new_tables(("PAGES",), ("PAGES", "DOCS")) == ("DOCS",)
     assert detect_new_tables(("PAGES",), ("PAGES",)) == ()
