@@ -88,3 +88,32 @@ def test_quality_and_tokens(spark, docs):
     )
     assert row["n"] == 9
     assert row["sw"] == 2  # 'the' twice
+
+def test_ivf_kmeans_variant_recall(spark):
+    """The KMeans-trained IVF quantizer (production variant of the
+    deterministic-quantizer contract query): nprobe=1 cell search must
+    return per-query ranked neighbors with reasonable recall vs the
+    brute-force top-k."""
+    from debezium_connector_ibmi_spark.queries.embeddingops import (
+        emb_ivf_topk_kmeans,
+        emb_knn_brute_force,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ivf = [
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in emb_ivf_topk_kmeans(spark, sf).collect()
+    ]
+    assert ivf, "IVF returned nothing"
+    by_q = {}
+    for q, n, rk in ivf:
+        by_q.setdefault(q, []).append(rk)
+    assert set(by_q) == set(range(10))  # all 10 queries answered
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in emb_knn_brute_force(spark, sf).collect()
+    }
+    hits = sum(1 for q, n, _ in ivf if (q, n) in bf)
+    assert hits / len(ivf) >= 0.3, f"recall vs brute force: {hits}/{len(ivf)}"
