@@ -39,6 +39,7 @@ def _cfg(args):
         num_buckets=args.buckets,
         delete_mode=args.delete_mode,
         invalid_position_policy=args.invalid_position_policy,
+        journal_format=getattr(args, "journal_format", "columnar"),
     )
 
 
@@ -69,11 +70,25 @@ def main(argv=None):
         if name == "tail":
             s.add_argument("--follow", action="store_true")
             s.add_argument("--poll-ms", type=int, default=2000)
+            s.add_argument(
+                "--journal-format", default="columnar",
+                choices=["columnar", "binary"],
+            )
+            # process pending execute-snapshot signals each poll; the
+            # source-table provider is the deterministic pages datagen
+            s.add_argument("--process-signals", action="store_true")
+            s.add_argument("--n-urls", type=int, default=10_000)
         if name == "stream":
             s.add_argument("--checkpoint", default="")
             s.add_argument("--continuous", action="store_true")
         if name == "snapshot":
             s.add_argument("--n-urls", type=int, default=10_000)
+
+    sg = sub.add_parser("signal")  # operator side: enqueue a signal
+    sg.add_argument("--target", required=True)
+    sg.add_argument("--signal-id", type=int, required=True)
+    sg.add_argument("--type", default="execute-snapshot")
+    sg.add_argument("--tables", default="PAGES")
 
     args = p.parse_args(argv)
 
@@ -111,13 +126,46 @@ def main(argv=None):
         print(json.dumps({"snapshot_watermark": list(wm)}))
         return 0
 
+    if args.cmd == "signal":
+        from debezium_connector_ibmi_spark.streaming.signals import send_signal
+
+        send_signal(
+            spark,
+            f"{args.target.rstrip('/')}/_signals",
+            args.signal_id,
+            args.type,
+            {"data-collections": args.tables.split(",")},
+        )
+        print(json.dumps({"signal_sent": args.signal_id, "type": args.type}))
+        return 0
+
     if args.cmd == "tail":
         from debezium_connector_ibmi_spark.streaming.engine import JournalTailer
 
         cfg = _cfg(args)
         tailer = JournalTailer(spark, cfg)
+        sig_proc = None
+        if args.process_signals:
+            from debezium_connector_ibmi_spark.datagen.journal import (
+                JournalGenConfig,
+                generate_pages,
+            )
+            from debezium_connector_ibmi_spark.streaming.signals import (
+                SignalProcessor,
+            )
+
+            sig_proc = SignalProcessor(
+                spark,
+                cfg,
+                lambda table: generate_pages(
+                    spark, JournalGenConfig(n_urls=args.n_urls)
+                ).drop("version"),
+            )
         total = 0
         while True:
+            if sig_proc is not None:
+                for s in sig_proc.poll():
+                    print(json.dumps(s, default=str), file=sys.stderr)
             stats = tailer.run_to_head()
             total += sum(s.get("events", 0) for s in stats)
             for s in stats:
