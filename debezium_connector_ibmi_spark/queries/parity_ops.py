@@ -12,8 +12,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from debezium_connector_ibmi_spark.functions.typeconv import (
+    bigint_from_text,
     charset_decode_udf,
     decode_cyymmddhhmmss,
+    parse_default_value,
+    with_default,
 )
 from debezium_connector_ibmi_spark.plans.range_planner import (
     Position,
@@ -76,6 +79,43 @@ def fn_charset_decode(spark, sf_dir):
         "event_id",
         F.lower(F.hex("ebcdic")).alias("ebcdic_hex"),
         charset_decode_udf(37)(F.col("ebcdic")).alias("decoded"),
+    )
+
+
+# --- C15: 20-char padded digit text -> int64 -----------------------------
+def fn_bigint_from_text(spark, sf_dir):
+    """Sequence numbers arrive as space-padded 20-char digit text
+    (JournalInfoRetrieval.java:419-423); trim+cast round-trip."""
+    e = _events(spark, sf_dir)
+    padded = F.lpad(F.col("event_id").cast("string"), 20, " ")
+    return e.select(
+        "event_id",
+        padded.alias("seq_text"),
+        bigint_from_text(padded).alias("seq_parsed"),
+    )
+
+
+# --- C9: DDL default literal parse + coalesce-at-merge --------------------
+def fn_default_coalesce(spark, sf_dir):
+    """parse_default_value is a plan-time function (DDL literal ->
+    typed Python value, As400DefaultValueConverter semantics); the
+    parsed default lands in the plan as coalesce(col, lit(default)).
+    Nulls injected deterministically (event_id % 7)."""
+    num_default = parse_default_value("DOUBLE", "'1.5'")
+    str_default = parse_default_value("VARCHAR(10)", "'pending'")
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        F.when(F.pmod(F.col("event_id"), F.lit(7)) != 0, F.col("value")).alias(
+            "value_masked"
+        ),
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(5)) != 0, F.col("event_type")
+        ).alias("type_masked"),
+    )
+    return e.select(
+        "event_id",
+        with_default("value_masked", num_default).alias("value_d"),
+        with_default("type_masked", str_default).alias("type_d"),
     )
 
 
@@ -164,6 +204,8 @@ def cdc_plan_ranges(spark, sf_dir):
 QUERIES = {
     "fn_century_decode": fn_century_decode,
     "fn_charset_decode": fn_charset_decode,
+    "fn_bigint_from_text": fn_bigint_from_text,
+    "fn_default_coalesce": fn_default_coalesce,
     "cdc_usable_chain": cdc_usable_chain,
     "cdc_plan_ranges": cdc_plan_ranges,
 }
@@ -196,6 +238,21 @@ ORACLES = {
         SELECT event_id,
                CASE event_type {_CHARSET_CASE} END AS ebcdic_hex,
                event_type AS decoded
+        FROM events
+    """,
+    "fn_bigint_from_text": """
+        SELECT event_id,
+               lpad(CAST(event_id AS VARCHAR), 20, ' ') AS seq_text,
+               CAST(trim(lpad(CAST(event_id AS VARCHAR), 20, ' '))
+                    AS BIGINT) AS seq_parsed
+        FROM events
+    """,
+    "fn_default_coalesce": """
+        SELECT event_id,
+               COALESCE(CASE WHEN event_id % 7 <> 0 THEN value END, 1.5)
+                   AS value_d,
+               COALESCE(CASE WHEN event_id % 5 <> 0 THEN event_type END,
+                        'pending') AS type_d
         FROM events
     """,
     "cdc_usable_chain": """
