@@ -163,10 +163,36 @@ def write_binary_journal(journal: DataFrame, path: str, num_files: int = 8) -> N
     )
 
 
+BINARY_JOURNAL_SCHEMA = T.StructType(
+    [
+        T.StructField("receiver", T.StringType()),
+        T.StructField("receiver_idx", T.IntegerType()),
+        T.StructField("header_blob", T.BinaryType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("before_html", T.BinaryType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("null_mask", T.ArrayType(T.BooleanType())),
+    ]
+)
+
+
 def read_journal_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    journal_format: str = "columnar",
 ) -> DataFrame:
-    reader = spark.readStream.schema(JOURNAL_SCHEMA)
+    """Streaming journal source; ``journal_format="binary"`` reads
+    packed header blobs and decodes them per micro-batch (C1/C2)."""
+    schema = (
+        BINARY_JOURNAL_SCHEMA if journal_format == "binary" else JOURNAL_SCHEMA
+    )
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(path)
+    stream = reader.parquet(path)
+    if journal_format == "binary":
+        return from_binary_journal(stream)
+    return stream

@@ -341,7 +341,9 @@ def run_structured_stream(
         )
         batch.unpersist()
 
-    stream = read_journal_stream(spark, cfg.journal_path)
+    stream = read_journal_stream(
+        spark, cfg.journal_path, journal_format=cfg.journal_format
+    )
     writer = (
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", cfg.checkpoint_path)

@@ -67,13 +67,13 @@ def main(argv=None):
             default="fail",
             choices=["fail", "reset_earliest"],
         )
+        s.add_argument(
+            "--journal-format", default="columnar",
+            choices=["columnar", "binary"],
+        )
         if name == "tail":
             s.add_argument("--follow", action="store_true")
             s.add_argument("--poll-ms", type=int, default=2000)
-            s.add_argument(
-                "--journal-format", default="columnar",
-                choices=["columnar", "binary"],
-            )
             # process pending execute-snapshot signals each poll; the
             # source-table provider is the deterministic pages datagen
             s.add_argument("--process-signals", action="store_true")

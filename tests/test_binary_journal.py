@@ -116,3 +116,36 @@ def test_tailer_over_binary_journal_replays_identically(spark, tmpdir_path):
         journal_format="binary",
     )
     assert JournalTailer(spark, cfg_b).run_to_head() == []
+
+
+def test_structured_stream_over_binary_journal(spark, tmpdir_path):
+    """The streaming mode over the binary layout: per-micro-batch
+    header decode, same final state as a columnar batch replay."""
+    from debezium_connector_ibmi_spark.sinks.merge import KeyBucketedTarget
+    from debezium_connector_ibmi_spark.sources.journal_source import (
+        write_binary_journal,
+    )
+    from debezium_connector_ibmi_spark.streaming.engine import (
+        run_structured_stream,
+    )
+    from debezium_connector_ibmi_spark.testing import naive_replay, state_df_to_dict
+
+    j = generate_journal(spark, GEN).cache()
+    write_binary_journal(j, f"{tmpdir_path}/jbin", num_files=3)
+    cfg = EngineConfig(
+        journal_path=f"{tmpdir_path}/jbin",
+        target_path=f"{tmpdir_path}/t",
+        checkpoint_path=f"{tmpdir_path}/ck",
+        num_buckets=4,
+        journal_format="binary",
+    )
+    q = run_structured_stream(spark, cfg, available_now=True)
+    q.awaitTermination(timeout=300)
+    t = KeyBucketedTarget(spark, cfg.target_path, num_buckets=4)
+    engine = state_df_to_dict(t.read().drop("bucket", "receiver_idx", "seq"))
+    oracle = naive_replay([r.asDict() for r in j.collect()])
+    assert set(engine) == set(oracle)
+    for url, o in oracle.items():
+        assert engine[url]["html"] == o["html"], url
+        assert engine[url]["text"] == o["text"], url
+    j.unpersist()
