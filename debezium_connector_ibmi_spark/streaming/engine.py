@@ -214,7 +214,59 @@ class JournalTailer:
                 ),
             }
         )
+        self._emit_metrics(stats, part_rows)
         return stats
+
+    def _emit_metrics(self, stats: dict, part_rows: list[dict]) -> None:
+        """Append one observability record per batch (events, wall
+        secs, events/sec, per-receiver high-watermarks) to
+        ``<target>/_metrics/batches.jsonl`` — the per-partition
+        throughput/lag emission the north rule requires. Append-only
+        JSONL, not part of the transactional commit (metrics loss on
+        crash is acceptable; data loss is not)."""
+        import json
+        import os
+
+        mdir = f"{self.cfg.target_path.rstrip('/')}/_metrics"
+        os.makedirs(mdir, exist_ok=True)
+        secs = max(stats.get("secs", 0.0), 1e-9)
+        rec = {
+            "batch_id": stats.get("batch_id"),
+            "events": stats.get("events", 0),
+            "secs": round(secs, 3),
+            "events_per_sec": round(stats.get("events", 0) / secs, 1),
+            "skipped": stats.get("skipped", False),
+            "partitions": part_rows,
+            "ts": time.time(),
+        }
+        with open(f"{mdir}/batches.jsonl", "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+
+    def throughput_metrics(self) -> DataFrame:
+        """Per-batch throughput table from the metrics log (batch_id,
+        events, secs, events_per_sec); empty DataFrame when no batch
+        has run."""
+        import json
+
+        path = f"{self.cfg.target_path.rstrip('/')}/_metrics/batches.jsonl"
+        ddl = "batch_id long, events long, secs double, events_per_sec double"
+        try:
+            with open(path) as fh:
+                rows = [json.loads(line) for line in fh if line.strip()]
+        except FileNotFoundError:
+            rows = []
+        return self.spark.createDataFrame(
+            [
+                (
+                    int(r["batch_id"]) if r["batch_id"] is not None else -1,
+                    int(r["events"]),
+                    float(r["secs"]),
+                    float(r["events_per_sec"]),
+                )
+                for r in rows
+            ],
+            ddl,
+        )
 
     # -- the poll loop ---------------------------------------------------
 

@@ -201,7 +201,8 @@ def main(argv=None):
 
         tailer = JournalTailer(spark, _cfg(args))
         rows = [r.asDict() for r in tailer.lag_metrics().collect()]
-        print(json.dumps({"lag": rows}))
+        tput = [r.asDict() for r in tailer.throughput_metrics().collect()]
+        print(json.dumps({"lag": rows, "throughput": tput}))
         return 0
 
     return 1

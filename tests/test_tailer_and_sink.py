@@ -144,6 +144,22 @@ def test_lineage_records_per_partition_watermarks(spark, journal_path, tmpdir_pa
     assert all(p["processed"] for p in lin)
 
 
+def test_throughput_metrics_emitted_per_batch(spark, journal_path, tmpdir_path):
+    """North rule: per-partition throughput/lag metrics are emitted.
+    Every batch appends a record with events, wall secs, events/sec
+    and per-receiver watermark rows; the report totals match the tail
+    stats."""
+    cfg = _cfg(journal_path, tmpdir_path, max_entries_per_batch=400)
+    tailer = JournalTailer(spark, cfg)
+    stats = tailer.run_to_head()
+    rep = tailer.throughput_metrics().collect()
+    assert len(rep) == len(stats) > 1
+    assert sum(r["events"] for r in rep) == sum(s["events"] for s in stats)
+    assert all(r["events_per_sec"] > 0 for r in rep)
+    ids = [r["batch_id"] for r in rep]
+    assert ids == sorted(ids)
+
+
 def test_rewrite_mode_keeps_tombstones(spark, journal_path, tmpdir_path):
     cfg = _cfg(journal_path, tmpdir_path, delete_mode="rewrite")
     JournalTailer(spark, cfg).run_to_head()
