@@ -131,8 +131,13 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                 for idx in range(0, n_frames, every_n):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)
+                    # text-suffixed digest: deterministic AND
+                    # reproducible by any ANSI engine (the raw-byte
+                    # suffix variant isn't md5-able as VARCHAR)
                     out["frame_phash"].append(
-                        hashlib.md5(payload + idx.to_bytes(4, "big")).hexdigest()[:8]
+                        hashlib.md5(
+                            payload + f":{idx}".encode()
+                        ).hexdigest()[:8]
                     )
             yield pd.DataFrame(out)
 

@@ -12,12 +12,16 @@ from debezium_connector_ibmi_spark.queries import (
     cdc,
     embeddingops,
     misc_ops,
+    multimodalops,
     parity_ops,
     relational,
     textops,
 )
 
-_MODULES = (cdc, relational, textops, embeddingops, misc_ops, parity_ops)
+_MODULES = (
+    cdc, relational, textops, embeddingops, misc_ops, parity_ops,
+    multimodalops,
+)
 
 
 def all_queries():
