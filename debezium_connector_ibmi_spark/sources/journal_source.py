@@ -86,6 +86,15 @@ def to_binary_journal(journal: DataFrame) -> DataFrame:
     return journal.select(
         "receiver",
         "receiver_idx",
+        # seq stays a top-level column ALONGSIDE the blob (which also
+        # carries it): the table's sort-key metadata, like Iceberg
+        # sort/partition columns next to a raw payload. Range planning
+        # and (receiver_idx, seq) predicates stay scan-side (footer
+        # stats + row-group pruning) instead of forcing a full header
+        # decode just to navigate — the reference equivalently asks
+        # the server for ranges out-of-band (RJNE0200 FROMENT/TOENT)
+        # rather than scanning the buffer.
+        "seq",
         pack(
             F.col("seq"),
             (F.col("entry_ts").cast("double") * 1_000_000).cast("long"),
@@ -115,10 +124,18 @@ def from_binary_journal(binary_journal: DataFrame) -> DataFrame:
     )
 
     d = binary_journal.withColumn("h", decode_header_udf("header_blob"))
+    # the top-level seq column (when the layout carries it) keeps
+    # planner predicates scan-side; the blob's sequence still decodes
+    # and is asserted equal in tests (C1 round-trip)
+    seq_col = (
+        F.col("seq")
+        if "seq" in binary_journal.columns
+        else F.col("h.sequence").alias("seq")
+    )
     return d.select(
         "receiver",
         "receiver_idx",
-        F.col("h.sequence").alias("seq"),
+        seq_col,
         (F.col("h.entry_ts_us") / 1_000_000).cast("timestamp").alias("entry_ts"),
         F.col("h.journal_code").alias("journal_code"),
         F.col("h.entry_type").alias("entry_type"),
@@ -167,6 +184,7 @@ BINARY_JOURNAL_SCHEMA = T.StructType(
     [
         T.StructField("receiver", T.StringType()),
         T.StructField("receiver_idx", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
         T.StructField("header_blob", T.BinaryType()),
         T.StructField("url", T.StringType()),
         T.StructField("before_html", T.BinaryType()),

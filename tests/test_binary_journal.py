@@ -118,6 +118,40 @@ def test_tailer_over_binary_journal_replays_identically(spark, tmpdir_path):
     assert JournalTailer(spark, cfg_b).run_to_head() == []
 
 
+def test_binary_layout_seq_column_and_blob_agree(spark, tmpdir_path):
+    """The binary layout carries seq BOTH as a scan-side sort-key
+    column and inside the header blob; they must agree (C1 integrity),
+    and (receiver_idx, seq) predicates must reach the parquet scan
+    (partition filter + pushed filter) instead of forcing a decode."""
+    from debezium_connector_ibmi_spark.functions.header_codec import (
+        decode_header_udf,
+    )
+    from debezium_connector_ibmi_spark.sources.journal_source import (
+        read_binary_journal,
+        write_binary_journal,
+    )
+
+    j = generate_journal(spark, GEN)
+    write_binary_journal(j, f"{tmpdir_path}/jbin", num_files=3)
+    raw = spark.read.parquet(f"{tmpdir_path}/jbin")
+    mismatch = (
+        raw.withColumn("h", decode_header_udf("header_blob"))
+        .filter(F.col("seq") != F.col("h.sequence"))
+        .count()
+    )
+    assert mismatch == 0
+
+    jb = read_binary_journal(spark, f"{tmpdir_path}/jbin")
+    pred = (F.col("receiver_idx") == 1) & (F.col("seq") <= 50)
+    plan = jb.filter(pred)._sc._jvm.PythonSQLUtils.explainString(
+        jb.filter(pred)._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "receiver_idx" in plan.split("PartitionFilters:")[1].split("]")[0]
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "seq" in pushed, f"seq predicate not pushed: {pushed}"
+
+
 def test_structured_stream_over_binary_journal(spark, tmpdir_path):
     """The streaming mode over the binary layout: per-micro-batch
     header decode, same final state as a columnar batch replay."""
