@@ -113,3 +113,36 @@ def decode_headers_np(blobs: pd.Series) -> pd.DataFrame:
 def decode_header_udf(blob: pd.Series) -> pd.DataFrame:
     """binary -> header struct, Arrow-batched."""
     return decode_headers_np(blob)
+
+
+def _be_uint(blob, pos_1based: int, nbytes: int):
+    """Big-endian unsigned int from a binary slice, pure Catalyst:
+    substring(binary) -> hex -> conv(16,10) -> long. Stays inside
+    whole-stage codegen. conv is unsigned 64-bit: values here are
+    far below 2^63 (sequence numbers, cycle ids, offsets)."""
+    return F.conv(F.hex(F.substring(blob, pos_1based, nbytes)), 16, 10).cast(
+        "long"
+    )
+
+
+def decode_header_cols(blob) -> F.Column:
+    """JVM-expression header decode — the engine's DEFAULT path.
+
+    Produces the same struct as :func:`decode_header_udf` with zero
+    Python: fixed-width big-endian slices via substring/hex/conv and
+    utf-8 casts for the text fields, all inside whole-stage codegen —
+    no Arrow transfer of the blobs at all. The numpy UDF remains as
+    the reference implementation (equality pinned in
+    tests/test_header_codec.py) and for engines without conv.
+    """
+    c = blob if not isinstance(blob, str) else F.col(blob)
+    return F.struct(
+        _be_uint(c, 1, 4).alias("next_entry_offset"),
+        _be_uint(c, 5, 8).alias("sequence"),
+        _be_uint(c, 13, 8).alias("entry_ts_us"),
+        F.substring(c, 21, 1).cast("string").alias("journal_code"),
+        F.substring(c, 22, 2).cast("string").alias("entry_type"),
+        _be_uint(c, 24, 8).alias("commit_cycle"),
+        F.substring(c, 32, 30).cast("string").alias("object_name"),
+        _be_uint(c, 62, 2).cast("int").alias("payload_length"),
+    )

@@ -72,3 +72,41 @@ def test_roundtrip_spark_and_object_split(spark):
 def test_empty_batch():
     out = decode_headers_np(pd.Series([], dtype="object"))
     assert len(out) == 0
+
+def test_expression_decode_equals_numpy_decode(spark):
+    """The default JVM-expression decode (decode_header_cols:
+    substring/hex/conv, whole-stage codegen) must produce exactly the
+    numpy frombuffer UDF's output on every field, including non-ASCII-
+    safe edge values."""
+    from debezium_connector_ibmi_spark.functions.header_codec import (
+        decode_header_cols,
+    )
+
+    cases = list(GOLDEN) + [
+        dict(
+            next_entry_offset=0,
+            sequence=2**40 + 12345,
+            entry_ts_us=1,
+            journal_code="D",
+            entry_type="CG",
+            commit_cycle=0,
+            object_name="",
+            payload_length=65535,
+        )
+    ]
+    blobs = [(encode_header(**g),) for g in cases]
+    df = spark.createDataFrame(blobs, "blob binary")
+    via_expr = df.select(decode_header_cols("blob").alias("h")).select("h.*")
+    via_udf = df.select(decode_header_udf("blob").alias("h")).select("h.*")
+    a = [tuple(r) for r in via_expr.collect()]
+    b = [tuple(r) for r in via_udf.collect()]
+    assert a == b
+    # and the expression path stays inside codegen (no Python node)
+    plan = via_expr._sc._jvm.PythonSQLUtils.explainString(
+        via_expr._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    # '*' node prefix marks whole-stage-codegen participation in the
+    # formatted plan
+    assert "* Project" in plan
