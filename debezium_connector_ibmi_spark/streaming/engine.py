@@ -67,6 +67,54 @@ def prepare_batch(journal_slice: DataFrame, cfg: EngineConfig) -> DataFrame:
     return with_text(last).select(*_merge_columns())
 
 
+def apply_schema_changes_for_slice(
+    target: KeyBucketedTarget, cfg: EngineConfig, evolution, sliced: DataFrame
+) -> list[int]:
+    """T12: D.CG/D.CT entries in a batch -> ordered, exactly-once
+    schema updates on the target (the Debezium schema-history
+    replay). Applied before the batch's data merge — added columns
+    default to null for rows already in flight, matching the
+    reference's refetch-then-continue behavior. Shared by the tailer
+    and the Structured Streaming mode."""
+    if evolution is None:
+        return []
+    from debezium_connector_ibmi_spark.streaming.schema_evolution import (
+        EvolutionSpec,
+        apply_schema_events,
+    )
+
+    # declare the base state schema so evolutions can apply even
+    # before the first data merge (CREATE TABLE analogue)
+    base = [
+        ["url", "string"],
+        ["warc_ts", "timestamp"],
+        ["html", "binary"],
+        ["text", "string"],
+        ["lang", "string"],
+        ["receiver_idx", "int"],
+        ["seq", "bigint"],
+    ]
+    if cfg.delete_mode == "rewrite":
+        base.append(["__deleted", "boolean"])
+    target.declare_schema(base)
+
+    rows = (
+        sliced.filter(
+            (F.col("journal_code") == "D")
+            & (F.col("entry_type").isin("CG", "CT"))
+        )
+        .select("receiver_idx", "seq", "table_name")
+        .orderBy("receiver_idx", "seq")
+        .collect()
+    )
+    versions = [
+        v
+        for v in (EvolutionSpec.parse_version(r["table_name"]) for r in rows)
+        if v is not None
+    ]
+    return apply_schema_events(target, evolution, versions)
+
+
 def _require_single_table(cfg: EngineConfig) -> None:
     """The sink's state is keyed by ``cfg.key_column`` alone (the
     reference keeps one topic/table per source table); two tables
@@ -109,50 +157,9 @@ class JournalTailer:
         return read_journal(self.spark, self.cfg.journal_path)
 
     def _apply_schema_changes(self, sliced: DataFrame) -> list[int]:
-        """T12: D.CG/D.CT entries in the batch range -> ordered,
-        exactly-once schema updates on the target (the Debezium
-        schema-history replay). Applied before the batch's data merge
-        — added columns default to null for rows already in flight,
-        matching the reference's refetch-then-continue behavior."""
-        if self.evolution is None:
-            return []
-        from debezium_connector_ibmi_spark.streaming.schema_evolution import (
-            EvolutionSpec,
-            apply_schema_events,
+        return apply_schema_changes_for_slice(
+            self.target, self.cfg, self.evolution, sliced
         )
-
-        # declare the base state schema so evolutions can apply even
-        # before the first data merge (CREATE TABLE analogue)
-        base = [
-            ["url", "string"],
-            ["warc_ts", "timestamp"],
-            ["html", "binary"],
-            ["text", "string"],
-            ["lang", "string"],
-            ["receiver_idx", "int"],
-            ["seq", "bigint"],
-        ]
-        if self.cfg.delete_mode == "rewrite":
-            base.append(["__deleted", "boolean"])
-        self.target.declare_schema(base)
-
-        rows = (
-            sliced.filter(
-                (F.col("journal_code") == "D")
-                & (F.col("entry_type").isin("CG", "CT"))
-            )
-            .select("receiver_idx", "seq", "table_name")
-            .orderBy("receiver_idx", "seq")
-            .collect()
-        )
-        versions = [
-            v
-            for v in (
-                EvolutionSpec.parse_version(r["table_name"]) for r in rows
-            )
-            if v is not None
-        ]
-        return apply_schema_events(self.target, self.evolution, versions)
 
     # -- one micro-batch ------------------------------------------------
 
@@ -337,7 +344,10 @@ class JournalTailer:
 
 
 def run_structured_stream(
-    spark: SparkSession, cfg: EngineConfig, available_now: bool = True
+    spark: SparkSession,
+    cfg: EngineConfig,
+    available_now: bool = True,
+    evolution=None,
 ):
     """Structured Streaming variant: file-source micro-batches into
     the same exactly-once sink via foreachBatch.
@@ -377,6 +387,9 @@ def run_structured_stream(
             return "stream-" + cfg.checkpoint_path
 
     def apply_batch(df: DataFrame, epoch_id: int):
+        # T12 in streaming mode: schema events in this micro-batch
+        # apply before its data merge, exactly once (version fence)
+        apply_schema_changes_for_slice(target, cfg, evolution, df)
         # persist: the sink takes two actions over the batch
         batch = prepare_batch(df, cfg).persist()
         wm = df.agg(

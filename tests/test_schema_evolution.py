@@ -115,3 +115,31 @@ def test_add_column_visible_when_last(spark, journal_path, tmpdir_path):
     # rows merged AFTER the evolution have null quality (source does
     # not provide it); rows present at evolution time got the default
     assert df.filter(F.col("quality").isNotNull() | F.col("quality").isNull()).count() == df.count()
+
+def test_evolution_in_streaming_mode(spark, journal_path, tmpdir_path):
+    """T12 through run_structured_stream: schema events in a
+    micro-batch apply before its merge, exactly once, and the final
+    state matches the tailer's."""
+    from debezium_connector_ibmi_spark.sinks.merge import KeyBucketedTarget
+    from debezium_connector_ibmi_spark.streaming.engine import (
+        run_structured_stream,
+    )
+
+    cfg = EngineConfig(
+        journal_path=journal_path,
+        target_path=f"{tmpdir_path}/ts",
+        checkpoint_path=f"{tmpdir_path}/cks",
+        num_buckets=4,
+    )
+    q = run_structured_stream(spark, cfg, available_now=True, evolution=SPEC)
+    q.awaitTermination(timeout=300)
+    t = KeyBucketedTarget(spark, cfg.target_path, num_buckets=4)
+    assert t.schema_version() == 3
+    assert "quality" not in t.read().columns  # add->widen->drop nets out
+    engine = state_df_to_dict(t.read().drop("bucket", "receiver_idx", "seq"))
+    oracle = naive_replay(
+        [r.asDict() for r in spark.read.parquet(journal_path).collect()]
+    )
+    assert set(engine) == set(oracle)
+    for url, o in oracle.items():
+        assert engine[url]["text"] == o["text"]
