@@ -102,6 +102,45 @@ def shingles(text: Column | str = "text", n: int = 3) -> Column:
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-token-window chunking with overlap — training-sample
+    preparation. Chunk ``i`` covers tokens ``[i*stride, i*stride +
+    chunk_size)`` with ``stride = chunk_size - overlap``; every doc
+    yields at least one chunk; the final chunk may be short.
+
+    Pure Catalyst (sequence → explode → slice): embarrassingly
+    parallel, no shuffle, codegen'd — at 100 TB this is a map-only
+    stage whose output size is input × (1 + overlap/stride).
+    """
+    assert 0 <= overlap < chunk_size
+    stride = chunk_size - overlap
+    w = words_col(text)
+    d = df.select(F.col(id_col), w.alias("__w")).filter(F.size("__w") > 0)
+    # integer-exact ceil((n - overlap) / stride), min 1 — identical
+    # arithmetic on any engine (no float division)
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"(size(__w) - {overlap} + {stride - 1}) div {stride}"),
+    )
+    d = d.withColumn(
+        "chunk_idx",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),
+    )
+    chunk = F.slice(F.col("__w"), (F.col("chunk_idx") * stride + 1).cast("int"), chunk_size)
+    return d.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )
+
+
 def minhash_columns(
     text: Column | str = "text", seeds: tuple[str, ...] = ("s0", "s1", "s2", "s3"),
     n: int = 3,

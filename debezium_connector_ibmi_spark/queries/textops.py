@@ -199,6 +199,17 @@ _JACCARD_SQL = """
 """
 
 
+_CHUNK, _OVERLAP = 32, 8  # stride 24
+
+
+def doc_chunk_tokens(spark, sf_dir):
+    """Training-sample chunking: fixed 32-token windows, 8-token
+    overlap, ≥1 chunk per doc, short tail allowed."""
+    return ta.chunk_tokens(
+        _docs(spark, sf_dir), chunk_size=_CHUNK, overlap=_OVERLAP
+    )
+
+
 def doc_scrub_control_chars(spark, sf_dir):
     """C8: control-char scrub (As400ValueConverters.java:27-71) —
     ASCII controls injected deterministically, scrubbed to '?'.
@@ -224,6 +235,7 @@ def doc_scrub_control_chars(spark, sf_dir):
 
 QUERIES = {
     "doc_scrub_control_chars": doc_scrub_control_chars,
+    "doc_chunk_tokens": doc_chunk_tokens,
     "doc_token_count": doc_token_count,
     "doc_quality_score": doc_quality_score,
     "doc_lang_id": doc_lang_id,
@@ -236,7 +248,29 @@ QUERIES = {
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
 }
 
+_STRIDE = _CHUNK - _OVERLAP
+
 ORACLES = {
+    "doc_chunk_tokens": f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents
+            WHERE len(string_split(text, ' ')) > 0
+        ), x AS (
+            SELECT doc_id, words,
+                   unnest(range(0, greatest(1,
+                       (len(words) - {_OVERLAP} + {_STRIDE - 1})
+                       // {_STRIDE}))) AS i
+            FROM w
+        )
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               array_to_string(list_slice(words, i * {_STRIDE} + 1,
+                   i * {_STRIDE} + {_CHUNK}), ' ') AS chunk_text,
+               CAST(len(list_slice(words, i * {_STRIDE} + 1,
+                   i * {_STRIDE} + {_CHUNK})) AS INT) AS n_tokens
+        FROM x
+    """,
     "doc_scrub_control_chars": r"""
         SELECT doc_id,
                regexp_replace(

@@ -117,3 +117,31 @@ def test_ivf_kmeans_variant_recall(spark):
     }
     hits = sum(1 for q, n, _ in ivf if (q, n) in bf)
     assert hits / len(ivf) >= 0.3, f"recall vs brute force: {hits}/{len(ivf)}"
+
+
+def test_chunk_tokens_boundaries(spark):
+    """Chunk windows: stride positions, overlap content, short tail,
+    single-chunk short docs, full reconstruction of the token stream."""
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),   # 10 tokens, 1 chunk
+        (2, " ".join(f"t{i}" for i in range(8))),    # == chunk_size
+        (3, " ".join(f"t{i}" for i in range(9))),    # chunk_size + 1
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in ta.chunk_tokens(df, chunk_size=8, overlap=2).collect()
+    }
+    # doc 1 (10 tokens, stride 6): chunks [0..7], [6..9]
+    assert out[(1, 0)][0].split() == [f"t{i}" for i in range(8)]
+    assert out[(1, 1)][0].split() == [f"t{i}" for i in range(6, 10)]
+    assert out[(1, 1)][1] == 4
+    # doc 2: exactly one full chunk
+    assert out[(2, 0)][1] == 8 and (2, 1) not in out
+    # doc 3 (9 tokens): second chunk = overlap tail [6..8]
+    assert out[(3, 1)][0].split() == ["t6", "t7", "t8"]
+    # doc 4: short doc still yields one chunk
+    assert out[(4, 0)] == ("solo", 1)
+    # overlap region of consecutive chunks repeats exactly
+    assert out[(1, 0)][0].split()[-2:] == out[(1, 1)][0].split()[:2]
