@@ -41,6 +41,8 @@ HEADLINE = [
     "cdc_txn_group",
     "rel_pricing_summary",
     "rel_revenue_by_nation",
+    "doc_chunk_tokens",
+    "doc_top_terms",
     "doc_minhash_signature",
     "doc_lsh_near_dup_pairs",
     "doc_simhash",

@@ -210,6 +210,36 @@ def doc_chunk_tokens(spark, sf_dir):
     )
 
 
+def doc_top_terms(spark, sf_dir):
+    """Top-3 distinguishing terms per doc — TF-IDF reshaped to
+    integer-exact ranking: rank by (tf DESC, df ASC, term) so no
+    float log/ratio enters the result. Plan: explode → per-(doc,term)
+    count → per-term doc frequency (broadcast-sized at any corpus:
+    |vocab| rows) → join → ranking window partitioned by doc."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    terms = d.select(
+        "doc_id", F.explode(ta.words_col()).alias("term")
+    ).filter(F.length("term") >= 3)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        terms.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
 def doc_scrub_control_chars(spark, sf_dir):
     """C8: control-char scrub (As400ValueConverters.java:27-71) —
     ASCII controls injected deterministically, scrubbed to '?'.
@@ -236,6 +266,7 @@ def doc_scrub_control_chars(spark, sf_dir):
 QUERIES = {
     "doc_scrub_control_chars": doc_scrub_control_chars,
     "doc_chunk_tokens": doc_chunk_tokens,
+    "doc_top_terms": doc_top_terms,
     "doc_token_count": doc_token_count,
     "doc_quality_score": doc_quality_score,
     "doc_lang_id": doc_lang_id,
@@ -270,6 +301,25 @@ ORACLES = {
                CAST(len(list_slice(words, i * {_STRIDE} + 1,
                    i * {_STRIDE} + {_CHUNK})) AS INT) AS n_tokens
         FROM x
+    """,
+    "doc_top_terms": """
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), t AS (
+            SELECT doc_id, term FROM terms WHERE len(term) >= 3
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+        ), df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1
+        )
+        SELECT doc_id, term, tf, df, rank FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rank
+            FROM tf JOIN df ON tf.term = df.term
+        ) WHERE rank <= 3
     """,
     "doc_scrub_control_chars": r"""
         SELECT doc_id,
