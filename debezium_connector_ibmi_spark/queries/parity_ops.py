@@ -18,6 +18,10 @@ from debezium_connector_ibmi_spark.functions.typeconv import (
     parse_default_value,
     with_default,
 )
+from debezium_connector_ibmi_spark.functions.header_codec import (
+    HEADER_LEN,
+    decode_header_cols,
+)
 from debezium_connector_ibmi_spark.plans.range_planner import (
     Position,
     plan_next_range,
@@ -79,6 +83,53 @@ def fn_charset_decode(spark, sf_dir):
         "event_id",
         F.lower(F.hex("ebcdic")).alias("ebcdic_hex"),
         charset_decode_udf(37)(F.col("ebcdic")).alias("decoded"),
+    )
+
+
+# --- C1/C2: binary header wire-format round-trip --------------------------
+def _be_bytes(col, nbytes):
+    """Big-endian bytes of an int, JVM-side: hex → lpad → unhex."""
+    return F.unhex(F.lpad(F.hex(col), 2 * nbytes, "0"))
+
+
+_HDR_CODE_HEX = "52"  # 'R'
+_HDR_TYPE_HEX = "5550"  # 'UP'
+_HDR_NAME = "PAGES".ljust(10) + "WEBLIB".ljust(10) + "M0001".ljust(10)
+_HDR_NAME_HEX = _HDR_NAME.encode("ascii").hex()
+
+
+def fn_header_roundtrip(spark, sf_dir):
+    """Build the engine's 63-byte binary header record per event
+    (JVM-side: hex/lpad/unhex big-endian packing — no Python), decode
+    it with the default expression codec (decode_header_cols), and
+    emit every field plus the blob hex. Pins the C1 wire format
+    (layout in functions/header_codec.py) at the driver gate; the
+    oracle reproduces both the bytes and the decoded fields
+    arithmetically."""
+    eid = F.col("event_id")
+    blob = F.concat(
+        _be_bytes(F.lit(HEADER_LEN), 4),
+        _be_bytes(eid, 8),
+        _be_bytes(eid * 1000, 8),
+        F.unhex(F.lit(_HDR_CODE_HEX)),
+        F.unhex(F.lit(_HDR_TYPE_HEX)),
+        _be_bytes(eid % 100, 8),
+        F.unhex(F.lit(_HDR_NAME_HEX)),
+        _be_bytes(eid % 65536, 2),
+    )
+    d = _events(spark, sf_dir).select(
+        "event_id", blob.alias("b")
+    ).withColumn("h", decode_header_cols(F.col("b")))
+    return d.select(
+        "event_id",
+        F.lower(F.hex("b")).alias("blob_hex"),
+        F.col("h.sequence").alias("seq_decoded"),
+        F.col("h.entry_ts_us").alias("ts_us_decoded"),
+        F.col("h.journal_code").alias("code_decoded"),
+        F.col("h.entry_type").alias("type_decoded"),
+        F.col("h.commit_cycle").alias("cycle_decoded"),
+        F.trim(F.col("h.object_name")).alias("name_decoded"),
+        F.col("h.payload_length").alias("plen_decoded"),
     )
 
 
@@ -202,6 +253,7 @@ def cdc_plan_ranges(spark, sf_dir):
 
 
 QUERIES = {
+    "fn_header_roundtrip": fn_header_roundtrip,
     "fn_century_decode": fn_century_decode,
     "fn_charset_decode": fn_charset_decode,
     "fn_bigint_from_text": fn_bigint_from_text,
@@ -215,6 +267,24 @@ _CHARSET_CASE = " ".join(
 )
 
 ORACLES = {
+    "fn_header_roundtrip": f"""
+        SELECT event_id,
+               lower(lpad(to_hex({HEADER_LEN}), 8, '0')
+               || lpad(to_hex(event_id), 16, '0')
+               || lpad(to_hex(event_id * 1000), 16, '0')
+               || '{_HDR_CODE_HEX}' || '{_HDR_TYPE_HEX}'
+               || lpad(to_hex(event_id % 100), 16, '0')
+               || '{_HDR_NAME_HEX}'
+               || lpad(to_hex(event_id % 65536), 4, '0')) AS blob_hex,
+               event_id AS seq_decoded,
+               event_id * 1000 AS ts_us_decoded,
+               'R' AS code_decoded,
+               'UP' AS type_decoded,
+               event_id % 100 AS cycle_decoded,
+               '{_HDR_NAME.strip()}' AS name_decoded,
+               CAST(event_id % 65536 AS INT) AS plen_decoded
+        FROM events
+    """,
     "fn_century_decode": """
         SELECT event_id,
                CAST(event_id % 2 AS VARCHAR)
