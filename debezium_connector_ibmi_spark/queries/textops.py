@@ -214,8 +214,11 @@ def doc_top_terms(spark, sf_dir):
     """Top-3 distinguishing terms per doc — TF-IDF reshaped to
     integer-exact ranking: rank by (tf DESC, df ASC, term) so no
     float log/ratio enters the result. Plan: explode → per-(doc,term)
-    count → per-term doc frequency (broadcast-sized at any corpus:
-    |vocab| rows) → join → ranking window partitioned by doc."""
+    count (map-side partial combine) → per-term doc frequency → join
+    on term → ranking window partitioned by doc. At corpus scale the
+    vocabulary outgrows broadcast, so the tf⋈df join shuffles on term
+    (AQE splits skewed hot terms); both aggregations are partial+final
+    hash aggs."""
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
@@ -237,6 +240,32 @@ def doc_top_terms(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+def doc_quality_percentiles(spark, sf_dir):
+    """Exact integer percentiles of token counts per language —
+    corpus quality profiling without approx sketches: median/p90 via
+    ranking-window math (rank == ceil(p × n)), integer-exact on any
+    engine. One shuffle (window by lang), lang cardinality is tiny so
+    the per-group sort is bounded."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", ta.token_count().alias("n_tok"))
+    w = Window.partitionBy("lang").orderBy("n_tok", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = (
+        d.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    med = F.max(F.when(F.col("rk") == F.ceil(F.col("n") * 0.5), F.col("n_tok")))
+    p90 = F.max(F.when(F.col("rk") == F.ceil(F.col("n") * 0.9), F.col("n_tok")))
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tok").alias("min_tok"),
+        med.alias("median_tok"),
+        p90.alias("p90_tok"),
+        F.max("n_tok").alias("max_tok"),
     )
 
 
@@ -267,6 +296,7 @@ QUERIES = {
     "doc_scrub_control_chars": doc_scrub_control_chars,
     "doc_chunk_tokens": doc_chunk_tokens,
     "doc_top_terms": doc_top_terms,
+    "doc_quality_percentiles": doc_quality_percentiles,
     "doc_token_count": doc_token_count,
     "doc_quality_score": doc_quality_score,
     "doc_lang_id": doc_lang_id,
@@ -320,6 +350,28 @@ ORACLES = {
                        ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rank
             FROM tf JOIN df ON tf.term = df.term
         ) WHERE rank <= 3
+    """,
+    "doc_quality_percentiles": """
+        WITH d AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents
+        ), r AS (
+            SELECT lang, n_tok,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY n_tok, doc_id) AS rk,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM d
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               min(n_tok) AS min_tok,
+               max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT)
+                        THEN n_tok END) AS median_tok,
+               max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
+                        THEN n_tok END) AS p90_tok,
+               max(n_tok) AS max_tok
+        FROM r GROUP BY lang
     """,
     "doc_scrub_control_chars": r"""
         SELECT doc_id,
