@@ -48,6 +48,22 @@ def windowed_op_counts(
     )
 
 
+def dedup_stream(
+    stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Event-time duplicate-delivery guard (§2.6 'late data' row): an
+    at-least-once transport may redeliver journal entries; identical
+    positions within the watermark horizon are dropped by Spark's
+    checkpointed dedup state (``dropDuplicatesWithinWatermark``), so
+    state size is bounded by the horizon instead of growing forever
+    (plain dropDuplicates would). The sink's position-aware merge
+    makes duplicates harmless anyway — this operator keeps them from
+    consuming downstream compute."""
+    return stream.withWatermark("entry_ts", watermark).dropDuplicatesWithinWatermark(
+        ["receiver_idx", "seq"]
+    )
+
+
 PAIRED_SCHEMA = (
     "table_name string, url string, receiver_idx int, seq long, "
     "op string, before_html binary, html binary"

@@ -199,3 +199,32 @@ def test_stateful_pairing_across_batches(spark, tmpdir_path):
     mismatches = [k for k in e if g[k] != e[k]]
     assert not mismatches, f"{len(mismatches)} pairing mismatches: {mismatches[:3]}"
     j.unpersist()
+
+def test_dedup_stream_drops_redeliveries(spark, tmpdir_path):
+    """At-least-once redelivery guard: the journal written twice (two
+    files with identical positions) must come out once per position,
+    with dedup state bounded by the watermark horizon."""
+    from debezium_connector_ibmi_spark.streaming.metrics_stream import (
+        dedup_stream,
+    )
+
+    j = generate_journal(spark, GEN).cache()
+    n_unique = j.select("receiver_idx", "seq").distinct().count()
+    jdir = f"{tmpdir_path}/jdup"
+    j.coalesce(1).write.mode("overwrite").parquet(jdir)
+    j.coalesce(1).write.mode("append").parquet(jdir)  # full redelivery
+    stream = read_journal_stream(spark, jdir)
+    out = []
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _e: out.extend(
+            df.select("receiver_idx", "seq").collect()))
+        .option("checkpointLocation", f"{tmpdir_path}/ckdup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    assert len(out) == n_unique
+    assert len({(r["receiver_idx"], r["seq"]) for r in out}) == n_unique
+    j.unpersist()
