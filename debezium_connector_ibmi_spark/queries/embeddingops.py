@@ -166,7 +166,7 @@ _IVF_SEED_MOD = 61
 _IVF_SEED_REM = 3
 
 
-def _ivf_assign_cells(e):
+def _ivf_assign_cells(e, nprobe: int = 1):
     """Assign every vector to its nearest coarse-quantizer centroid.
 
     The quantizer is DETERMINISTIC: the first _IVF_K vectors whose
@@ -200,7 +200,7 @@ def _ivf_assign_cells(e):
             ),
         )
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
     )
 
@@ -215,6 +215,44 @@ def emb_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell"
     )
     c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell"
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def emb_ivf_topk_nprobe2(spark, sf_dir):
+    """IVF with nprobe=2 — the recall knob: each QUERY searches its
+    two nearest cells (the database side stays single-cell), trading
+    2× candidate volume for recall. Same deterministic quantizer, so
+    the oracle reproduces it."""
+    e = _emb(spark, sf_dir)
+    db = _ivf_assign_cells(e)
+    q = (
+        _ivf_assign_cells(e, nprobe=2)
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            "cell",
+        )
+    )
+    c = db.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell"
     )
     scored = (
@@ -282,6 +320,7 @@ QUERIES = {
     "emb_ann_lsh_bucket": emb_ann_lsh_bucket,
     "emb_cosine_near_dup_pairs": emb_cosine_near_dup_pairs,
     "emb_ivf_topk": emb_ivf_topk,
+    "emb_ivf_topk_nprobe2": emb_ivf_topk_nprobe2,
 }
 
 ORACLES = {
@@ -317,6 +356,38 @@ ORACLES = {
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE {_cos_sql()} >= {_NEAR_DUP_COS}
+    """,
+    "emb_ivf_topk_nprobe2": f"""
+        WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding AS centv
+            FROM embeddings
+            WHERE vec_id % {_IVF_SEED_MOD} = {_IVF_SEED_REM}
+            ORDER BY vec_id LIMIT {_IVF_K}
+        ),
+        ranked AS (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql("e.embedding", "c.centv")} DESC,
+                                c.centroid_id) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        db AS (
+            SELECT vec_id, embedding, centroid_id AS cell
+            FROM ranked WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id, embedding, centroid_id AS cell
+            FROM ranked WHERE rn <= 2 AND vec_id < {_N_QUERIES}
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_cos_sql()} DESC, b.vec_id) AS rank
+            FROM q a JOIN db b ON a.cell = b.cell
+            WHERE a.vec_id <> b.vec_id
+        ) WHERE rank <= 3
     """,
     "emb_ivf_topk": f"""
         WITH cents AS (
