@@ -31,8 +31,6 @@ from pyspark.sql import functions as F
 from debezium_connector_ibmi_spark.config import EngineConfig
 from debezium_connector_ibmi_spark.pipeline import (
     STATE_COLUMNS,
-    compact_batch,
-    decoded_events,
     with_text,
 )
 from debezium_connector_ibmi_spark.plans.range_planner import (

@@ -41,6 +41,7 @@ from debezium_connector_ibmi_spark.streaming.engine import JournalTailer
 cpus = int(os.environ["IBMI_CPUS"])
 journal = os.environ["IBMI_JOURNAL"]
 target = os.environ["IBMI_TARGET"]
+journal_format = os.environ.get("IBMI_FORMAT", "columnar")
 n_batches = int(os.environ.get("IBMI_BATCHES", "1"))
 total_span = int(os.environ["IBMI_SPAN"])
 
@@ -50,6 +51,7 @@ cfg = EngineConfig(
     journal_path=journal, target_path=target,
     max_entries_per_batch=total_span // n_batches + 1,
     num_buckets=32, salt_buckets=8,
+    journal_format=journal_format,
 )
 tailer = JournalTailer(spark, cfg)
 t0 = time.time()
@@ -65,9 +67,12 @@ print(json.dumps({"cpus": cpus, "wall_sec": wall, "batch_sec": batch_secs,
 """
 
 
-def run_level(cpus: int, journal: str, span: int, workdir: str) -> dict:
+def run_level(
+    cpus: int, journal: str, span: int, workdir: str, fmt: str = "columnar"
+) -> dict:
     env = {
         **os.environ,
+        "IBMI_FORMAT": fmt,
         "IBMI_REPO": REPO,
         "IBMI_CPUS": str(cpus),
         "IBMI_JOURNAL": journal,
@@ -100,6 +105,7 @@ def main():
     out_md = sys.argv[2] if len(sys.argv) > 2 else None
     n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     n_big = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    fmt = sys.argv[5] if len(sys.argv) > 5 else "columnar"
     assert n_big == 4 * n_small, "protocol is N vs 4N"
 
     work = tempfile.mkdtemp(prefix="ibmi_scaling_")
@@ -113,6 +119,11 @@ gen = JournalGenConfig(n_urls={n_ops}//20, n_ops={n_ops}, txn_size=500,
                        receiver_rotation={n_ops}//8, skew=2.0,
                        html_bulk_repeat=60)  # ~2KB payloads (realistic pages)
 write_journal(spark, gen, {work!r} + "/journal", num_files=32)
+if {fmt!r} == "binary":
+    from debezium_connector_ibmi_spark.sources.journal_source import (
+        read_journal, write_binary_journal)
+    write_binary_journal(read_journal(spark, {work!r} + "/journal"),
+                         {work!r} + "/journal_bin", num_files=32)
 """
     gcwd = f"{work}/cwd_gen"
     os.makedirs(gcwd, exist_ok=True)
@@ -121,13 +132,14 @@ write_journal(spark, gen, {work!r} + "/journal", num_files=32)
         capture_output=True, text=True, timeout=3600,
     )
     span = n_ops * 6  # seq slots per op
+    journal_dir = f"{work}/journal_bin" if fmt == "binary" else f"{work}/journal"
 
     # two alternating trials per level (fresh pinned JVM each),
     # best-of to damp sandbox CPU noise
     trials: dict[int, list] = {n_small: [], n_big: []}
     for _trial in range(2):
         for cpus in (n_small, n_big):
-            trials[cpus].append(run_level(cpus, f"{work}/journal", span, work))
+            trials[cpus].append(run_level(cpus, journal_dir, span, work, fmt))
     for cpus in (n_small, n_big):
         shutil.rmtree(f"/dev/shm/ibmi_scaling_{os.getpid()}_{cpus}", ignore_errors=True)
     rs = max(trials[n_small], key=lambda r: r["events_per_sec_wall"])
@@ -146,7 +158,7 @@ write_journal(spark, gen, {work!r} + "/journal", num_files=32)
     if out_md:
         with open(out_md, "a") as fh:
             fh.write(
-                f"\n## Scaling run (n_ops={n_ops}, ~2KB payloads, "
+                f"\n## Scaling run (n_ops={n_ops}, format={fmt}, ~2KB payloads, "
                 f"taskset-pinned local[{n_small}] vs local[{n_big}], "
                 f"2g/core, shuffle=4x cores, tmpfs shuffle dirs)\n\n"
                 f"| level | wall s | apply s | events | ev/s (wall) |"
