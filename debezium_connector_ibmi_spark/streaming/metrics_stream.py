@@ -71,71 +71,93 @@ PAIRED_SCHEMA = (
 _STATE_SCHEMA = "pending_before binary, pending_ridx int, pending_seq long"
 
 
-def _pair_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    """Stateful UB->UP pairing for one (table_name, url) key.
+def _make_pair_group(pending_ttl_ms: int | None):
+    """Build the per-key pairing function; ``pending_ttl_ms`` bounds
+    how long an unmatched UB may park in state (None = forever)."""
 
-    State = the pending before-image (a UB seen with no UP yet).
-    Events inside each batch are processed in (receiver_idx, seq)
-    order; a UB that ends a batch parks in state and pairs with the
-    first UP of a later batch.
-    """
-    table_name, url = key
-    if state.exists:
-        pending_before, pending_ridx, pending_seq = state.get
-    else:
-        pending_before, pending_ridx, pending_seq = None, None, None
+    def _pair_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        """Stateful UB->UP pairing for one (table_name, url) key.
 
-    out_rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["receiver_idx", "seq"])
-        for r in pdf.itertuples(index=False):
-            if r.op == "b":
-                pending_before = (
-                    bytes(r.before_html) if r.before_html is not None else None
-                )
-                pending_ridx, pending_seq = int(r.receiver_idx), int(r.seq)
-                continue
-            before = r.before_html
-            if r.op == "u" and before is None and pending_before is not None:
-                before = pending_before
-            if r.op in ("c", "u", "d"):
-                pending_before = None  # consumed / invalidated
-                out_rows.append(
-                    (
-                        table_name,
-                        url,
-                        int(r.receiver_idx),
-                        int(r.seq),
-                        r.op,
-                        bytes(before) if before is not None else None,
-                        bytes(r.html) if r.html is not None else None,
+        State = the pending before-image (a UB seen with no UP yet).
+        Events inside each batch are processed in (receiver_idx, seq)
+        order; a UB that ends a batch parks in state and pairs with
+        the first UP of a later batch. With a TTL, an orphaned UB
+        (journal corruption / filtered-away UP) expires instead of
+        pinning state forever — the bounded-state equivalent of the
+        reference's single-slot cache being overwritten, but explicit
+        and time-based.
+        """
+        if state.hasTimedOut:
+            state.remove()  # orphaned UB abandoned (TTL horizon)
+            return
+        table_name, url = key
+        if state.exists:
+            pending_before, pending_ridx, pending_seq = state.get
+        else:
+            pending_before, pending_ridx, pending_seq = None, None, None
+
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["receiver_idx", "seq"])
+            for r in pdf.itertuples(index=False):
+                if r.op == "b":
+                    pending_before = (
+                        bytes(r.before_html)
+                        if r.before_html is not None
+                        else None
                     )
-                )
-    if pending_before is not None:
-        state.update((pending_before, pending_ridx, pending_seq))
-    elif state.exists:
-        state.remove()
-    if out_rows:
-        yield pd.DataFrame(
-            out_rows,
-            columns=[
-                "table_name",
-                "url",
-                "receiver_idx",
-                "seq",
-                "op",
-                "before_html",
-                "html",
-            ],
-        )
+                    pending_ridx, pending_seq = int(r.receiver_idx), int(r.seq)
+                    continue
+                before = r.before_html
+                if r.op == "u" and before is None and pending_before is not None:
+                    before = pending_before
+                if r.op in ("c", "u", "d"):
+                    pending_before = None  # consumed / invalidated
+                    out_rows.append(
+                        (
+                            table_name,
+                            url,
+                            int(r.receiver_idx),
+                            int(r.seq),
+                            r.op,
+                            bytes(before) if before is not None else None,
+                            bytes(r.html) if r.html is not None else None,
+                        )
+                    )
+        if pending_before is not None:
+            state.update((pending_before, pending_ridx, pending_seq))
+            if pending_ttl_ms:
+                state.setTimeoutDuration(pending_ttl_ms)
+        elif state.exists:
+            state.remove()
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "table_name",
+                    "url",
+                    "receiver_idx",
+                    "seq",
+                    "op",
+                    "before_html",
+                    "html",
+                ],
+            )
+
+    return _pair_group
 
 
-def pair_stream_stateful(stream: DataFrame) -> DataFrame:
+def pair_stream_stateful(
+    stream: DataFrame, pending_ttl_ms: int | None = None
+) -> DataFrame:
     """Cross-batch UB/UP pairing over a journal stream.
 
     Input: filtered journal stream rows with op in (b, c, u, d).
     Output: data events with before-images attached, pairs preserved
     across micro-batch boundaries via checkpointed state.
+    ``pending_ttl_ms`` (recommended at scale) expires orphaned UB
+    state after a processing-time horizon so total state stays
+    bounded by the in-flight pair count, not history.
     """
     tagged = stream.withColumn("op", op_type_col()).filter(
         F.col("op").isin("b", "c", "u", "d")
@@ -147,10 +169,14 @@ def pair_stream_stateful(stream: DataFrame) -> DataFrame:
         )
         .groupBy("table_name", "url")
         .applyInPandasWithState(
-            _pair_group,
+            _make_pair_group(pending_ttl_ms),
             outputStructType=PAIRED_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if pending_ttl_ms
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

@@ -163,7 +163,11 @@ def test_stateful_pairing_across_batches(spark, tmpdir_path):
     )
 
     stream = read_journal_stream(spark, f"{tmpdir_path}/j", max_files_per_trigger=1)
-    paired = pair_stream_stateful(apply_standard_filters(stream, EngineConfig()))
+    # TTL mode exercised on the happy path: a generous horizon must
+    # not change any pairing result (timeout plumbing active)
+    paired = pair_stream_stateful(
+        apply_standard_filters(stream, EngineConfig()), pending_ttl_ms=600_000
+    )
     q = (
         paired.writeStream.outputMode("append")
         .format("memory")
