@@ -251,10 +251,20 @@ class KeyBucketedTarget:
     def _bucket_col(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.num_buckets))
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current state; ``buckets`` prunes to only those key buckets
+    def commit_at(self, version: int) -> dict:
+        """Commit metadata for a specific version (time travel)."""
+        with open(f"{self.path}/_commits/{version}.json") as fh:
+            return json.load(fh)
+
+    def read(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
+        """State as of ``version`` (default: current) — the Iceberg
+        ``VERSION AS OF`` analogue: every commit's bucket→version map
+        is retained, so any historical snapshot is readable without
+        data copies. ``buckets`` prunes to only those key buckets
         (the partition-pruned side of the copy-on-write merge)."""
-        c = self.last_commit()
+        c = self.commit_at(version) if version is not None else self.last_commit()
         if c is None:
             raise FileNotFoundError(f"target {self.path} has no commits")
         mapping: dict[str, int] = c["buckets"]

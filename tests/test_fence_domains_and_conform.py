@@ -126,3 +126,24 @@ def test_single_table_guard(spark, tmpdir_path):
     )
     with pytest.raises(ValueError, match="one target per table"):
         JournalTailer(spark, cfg)
+
+
+def test_time_travel_read(spark, tmpdir_path):
+    """VERSION AS OF analogue: every commit's bucket map is retained,
+    so any historical state is readable; watermark/batch metadata
+    travel with it."""
+    t = KeyBucketedTarget(spark, f"{tmpdir_path}/t", num_buckets=2)
+    t.merge(_batch(spark, [("a", 0, 0, "c", "a0"), ("b", 0, 1, "c", "b0")]),
+            batch_id=0, watermark=(0, 1))
+    t.merge(_batch(spark, [("a", 0, 2, "u", "a1")]), batch_id=1,
+            watermark=(0, 2))
+    t.merge(_batch(spark, [("b", 0, 3, "d", None)]), batch_id=2,
+            watermark=(0, 3))
+
+    now = {r["url"]: r["text"] for r in t.read().collect()}
+    assert now == {"a": "a1"}
+    v0 = {r["url"]: r["text"] for r in t.read(version=0).collect()}
+    assert v0 == {"a": "a0", "b": "b0"}
+    v1 = {r["url"]: r["text"] for r in t.read(version=1).collect()}
+    assert v1 == {"a": "a1", "b": "b0"}
+    assert t.commit_at(1)["watermark"] == [0, 2]
