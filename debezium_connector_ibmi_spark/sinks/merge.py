@@ -283,6 +283,62 @@ class KeyBucketedTarget:
     def exists(self) -> bool:
         return self._latest_version() >= 0
 
+    def changes_between(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level diff between two snapshots (Iceberg
+        changelog-scan analogue): one row per key whose state changed,
+        with op c (inserted), u (value changed) or d (deleted) and the
+        after-image columns (null for d). Plan: full-outer join on the
+        key with per-side row hashes — one shuffle, key-partitioned.
+        """
+        old = self.read(version=from_version)
+        new = self.read(version=to_version)
+        val_cols = sorted(
+            c for c in (new if new is not None else old).columns
+            if c not in (self.key, "bucket")
+        )
+
+        def side(df, tag):
+            if df is None:
+                return None
+            return df.select(
+                F.col(self.key),
+                F.xxhash64(*[F.col(c) for c in val_cols]).alias(f"__h_{tag}"),
+                *[F.col(c).alias(f"__{tag}_{c}") for c in val_cols],
+            )
+
+        o, n = side(old, "o"), side(new, "n")
+        if o is None and n is None:
+            raise FileNotFoundError("both versions empty")
+        if o is None:
+            return n.select(
+                self.key,
+                F.lit("c").alias("op"),
+                *[F.col(f"__n_{c}").alias(c) for c in val_cols],
+            )
+        if n is None:
+            return o.select(
+                self.key,
+                F.lit("d").alias("op"),
+                *[F.lit(None).cast(dict(old.dtypes)[c]).alias(c) for c in val_cols],
+            )
+        j = o.join(n, self.key, "full_outer")
+        op = (
+            F.when(F.col("__h_o").isNull(), "c")
+            .when(F.col("__h_n").isNull(), "d")
+            .when(F.col("__h_o") != F.col("__h_n"), "u")
+        )
+        return (
+            j.withColumn("op", op)
+            .filter(F.col("op").isNotNull())
+            .select(
+                self.key,
+                "op",
+                *[F.col(f"__n_{c}").alias(c) for c in val_cols],
+            )
+        )
+
     # ---- write paths ----------------------------------------------------
 
     def _write_buckets(self, df: DataFrame, version: int) -> list[int]:

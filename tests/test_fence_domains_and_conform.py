@@ -147,3 +147,21 @@ def test_time_travel_read(spark, tmpdir_path):
     v1 = {r["url"]: r["text"] for r in t.read(version=1).collect()}
     assert v1 == {"a": "a1", "b": "b0"}
     assert t.commit_at(1)["watermark"] == [0, 2]
+
+
+def test_changelog_scan_between_versions(spark, tmpdir_path):
+    """Iceberg changelog-scan analogue: row-level c/u/d diff between
+    any two retained snapshots."""
+    t = KeyBucketedTarget(spark, f"{tmpdir_path}/t", num_buckets=2)
+    t.merge(_batch(spark, [("a", 0, 0, "c", "a0"), ("b", 0, 1, "c", "b0")]),
+            batch_id=0)
+    t.merge(_batch(spark, [("a", 0, 2, "u", "a1"),
+                           ("c", 0, 3, "c", "c0"),
+                           ("b", 0, 4, "d", None)]), batch_id=1)
+    diff = {
+        r["url"]: (r["op"], r["text"])
+        for r in t.changes_between(0, 1).collect()
+    }
+    assert diff == {"a": ("u", "a1"), "b": ("d", None), "c": ("c", "c0")}
+    # unchanged snapshot pair: empty diff
+    assert t.changes_between(1, 1).count() == 0
