@@ -283,6 +283,57 @@ class KeyBucketedTarget:
     def exists(self) -> bool:
         return self._latest_version() >= 0
 
+    def expire_versions(self, keep_last: int = 10) -> dict:
+        """Iceberg ``expire_snapshots`` analogue: retain the newest
+        ``keep_last`` commits for time travel, delete every data
+        version directory no retained commit references, and drop the
+        expired commit files. A bucket untouched for many commits
+        keeps its old data version alive through the retained bucket
+        maps — only truly unreferenced versions are removed, so
+        ``read()`` (and ``read(version=...)`` within retention) stay
+        valid. Retention caveat: a writer fence older than the
+        retained window re-bases on next use (writer_batch_id walks
+        retained commits only) — safe, because replays past the fence
+        are row-level idempotent by position. Returns counts for
+        observability."""
+        import shutil
+
+        latest = self._latest_version()
+        if latest < 0:
+            return {"removed_versions": 0, "removed_commits": 0}
+        keep_from = max(0, latest - keep_last + 1)
+        referenced: set[int] = set()
+        kept = removed_commits = 0
+        for v in range(latest + 1):
+            try:
+                c = self.commit_at(v)
+            except FileNotFoundError:
+                continue
+            if v >= keep_from:
+                kept += 1
+                referenced.update(int(x) for x in c.get("buckets", {}).values())
+        removed_versions = 0
+        data_root = f"{self.path}/data"
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                if not d.startswith("v="):
+                    continue
+                ver = int(d.split("=", 1)[1])
+                if ver not in referenced:
+                    shutil.rmtree(f"{data_root}/{d}", ignore_errors=True)
+                    removed_versions += 1
+        for v in range(keep_from):
+            try:
+                os.remove(f"{self.path}/_commits/{v}.json")
+                removed_commits += 1
+            except FileNotFoundError:
+                pass
+        return {
+            "removed_versions": removed_versions,
+            "removed_commits": removed_commits,
+            "kept_commits": kept,
+        }
+
     def changes_between(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:

@@ -165,3 +165,33 @@ def test_changelog_scan_between_versions(spark, tmpdir_path):
     assert diff == {"a": ("u", "a1"), "b": ("d", None), "c": ("c", "c0")}
     # unchanged snapshot pair: empty diff
     assert t.changes_between(1, 1).count() == 0
+
+
+def test_expire_versions_gc(spark, tmpdir_path):
+    """expire_snapshots analogue: unreferenced data versions and
+    expired commits are deleted; current reads (and retained time
+    travel) keep working; untouched buckets' old versions survive."""
+    import os
+
+    t = KeyBucketedTarget(spark, f"{tmpdir_path}/t", num_buckets=2)
+    # batch 0 writes both buckets; later batches touch only 'a''s
+    t.merge(_batch(spark, [("a", 0, 0, "c", "a0"), ("b", 0, 1, "c", "b0")]),
+            batch_id=0)
+    for i in range(1, 4):
+        t.merge(_batch(spark, [("a", 0, i + 1, "u", f"a{i}")]), batch_id=i)
+
+    stats = t.expire_versions(keep_last=2)
+    assert stats["kept_commits"] == 2
+    assert stats["removed_commits"] == 2
+    # current state intact, incl. 'b' whose bucket still lives at v0
+    now = {r["url"]: r["text"] for r in t.read().collect()}
+    assert now == {"a": "a3", "b": "b0"}
+    # v0 commit is gone (outside retention)...
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.commit_at(0)
+    # ...but v0's DATA survives because retained commits reference it
+    assert os.path.isdir(f"{tmpdir_path}/t/data/v=0")
+    # intermediate data versions nothing references anymore are gone
+    assert stats["removed_versions"] >= 1
