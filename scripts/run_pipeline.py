@@ -90,6 +90,11 @@ def main(argv=None):
     sg.add_argument("--type", default="execute-snapshot")
     sg.add_argument("--tables", default="PAGES")
 
+    vc = sub.add_parser("vacuum")  # expire_snapshots analogue
+    vc.add_argument("--target", required=True)
+    vc.add_argument("--buckets", type=int, default=32)
+    vc.add_argument("--keep-last", type=int, default=10)
+
     args = p.parse_args(argv)
 
     from debezium_connector_ibmi_spark.session import get_spark
@@ -124,6 +129,13 @@ def main(argv=None):
         ).drop("version")
         wm = initial_snapshot(spark, _cfg(args), pages)
         print(json.dumps({"snapshot_watermark": list(wm)}))
+        return 0
+
+    if args.cmd == "vacuum":
+        from debezium_connector_ibmi_spark.sinks.merge import KeyBucketedTarget
+
+        t = KeyBucketedTarget(spark, args.target, num_buckets=args.buckets)
+        print(json.dumps(t.expire_versions(keep_last=args.keep_last)))
         return 0
 
     if args.cmd == "signal":
