@@ -168,6 +168,13 @@ def main():
                 "cdc_events_per_sec": events_per_sec,
                 "cdc_events_per_sec_binary": bin_eps,
                 "cpus": CPUS,
+                # canonical protocol stamp: rounds are comparable IFF
+                # these match (r1 ran 1M ops — see BASELINE.md; r2+
+                # pin 4M). The 2->8-core scaling run is the separate
+                # pinned 16M protocol (scripts/bench_scaling.py),
+                # recorded per round in BASELINE.md.
+                "bench_ops": BENCH_OPS,
+                "protocol": "v2: headline sf0.1 + 4M-op apply, local[32]",
             }
         )
     )

@@ -259,13 +259,29 @@ def jaccard_pairs(
     n: int = 3,
     threshold_num: int = 3,
     threshold_den: int = 10,
+    ground_truth: bool = False,
+    max_docs: int = 10_000,
 ) -> DataFrame:
     """ALL-PAIRS n-gram Jaccard — small-scale ORACLE MODE only.
 
     The shingle self-join is quadratic in docs sharing a hot shingle;
     at corpus scale use :func:`lsh_verified_near_dups`, which feeds
     banded-LSH candidates into the same integer-exact verification.
-    Kept as the exhaustive ground truth for recall measurement."""
+    Kept as the exhaustive ground truth for recall measurement.
+
+    Guard: refuses corpora above ``max_docs`` unless the caller
+    explicitly passes ``ground_truth=True`` — the one extra count()
+    is nothing next to the all-pairs join it prevents from being
+    pointed at a large corpus by accident."""
+    if not ground_truth:
+        n_docs = df.count()
+        if n_docs > max_docs:
+            raise ValueError(
+                f"jaccard_pairs is all-pairs ground-truth mode: corpus has "
+                f"{n_docs} docs > max_docs={max_docs}. Use "
+                f"lsh_verified_near_dups for the scale path, or pass "
+                f"ground_truth=True to confirm an exhaustive recall run"
+            )
     d = df.filter(F.size(words_col(text)) >= n)
     sh = d.select(F.col(id_col), F.explode(shingles(text, n)).alias("shingle")).distinct()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))

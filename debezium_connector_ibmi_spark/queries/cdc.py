@@ -220,6 +220,28 @@ def cdc_snapshot_handover(spark, sf_dir):
     )
 
 
+# --- S10: quarantine predicate (diagnostic dump) ----------------------------
+def cdc_quarantine_rows(spark, sf_dir):
+    """The engine's quarantine rule (streaming/engine.py
+    process_range: data events op c/u whose payload failed to decode
+    are dumped for forensics, reference RetrieveJournal.java:294-348).
+    The events table has no corrupt payloads, so corruption is
+    injected deterministically (event_id % 97 == 13 -> payload null)
+    — the same datagen-in-query pattern cdc_null_mask uses; the query
+    returns exactly the rows the engine would route to quarantine."""
+    df = (
+        _events(spark, sf_dir)
+        .withColumn(
+            "payload",
+            F.when(F.pmod(F.col("event_id"), F.lit(97)) != 13, F.col("props")),
+        )
+        .withColumn("op", _op())
+    )
+    return df.filter(
+        F.col("op").isin("c", "u") & F.col("payload").isNull()
+    ).select("event_id", "user_id", "op")
+
+
 # --- flagship: changelog materialization (last-per-key, drop deletes) ------
 def cdc_changelog_materialize(spark, sf_dir):
     """Flagship contract query — exercises the engine's default
@@ -248,6 +270,7 @@ QUERIES = {
     "cdc_envelope_flat": cdc_envelope_flat,
     "cdc_state_diff": cdc_state_diff,
     "cdc_snapshot_handover": cdc_snapshot_handover,
+    "cdc_quarantine_rows": cdc_quarantine_rows,
     "cdc_changelog_materialize": cdc_changelog_materialize,
 }
 
@@ -309,6 +332,11 @@ ORACLES = {
         WHERE event_id >= (SELECT max(event_id) // 2 FROM events)
     """,
     "cdc_snapshot_handover": _LAST_PER_KEY_SQL,
+    "cdc_quarantine_rows": f"""
+        SELECT event_id, user_id, {_OP_SQL} AS op
+        FROM events
+        WHERE {_OP_SQL} IN ('c','u') AND (event_id % 97) = 13
+    """,
     "cdc_changelog_materialize": f"""
         SELECT user_id, event_id AS last_event_id, op, value AS last_value
         FROM (

@@ -315,15 +315,57 @@ def emb_ivf_topk_kmeans(spark, sf_dir, k=8, max_iter=5, top_k=3):
     )
 
 
+# KMeans-IVF driver gate: the oracle cannot run KMeans, so the gate
+# asserts the INVARIANT the trained quantizer must satisfy — aggregate
+# integer recall@3 of the KMeans-cell search vs the brute-force top-3
+# ground truth. Observed recall at sf0.001/sf0.01 is 12-16 hits of 30
+# (0.40-0.53); the gate requires >= 8 (0.27), margin for partitioning-
+# dependent KMeans convergence. Per-query recall can legitimately be 0
+# for a query on a cell boundary (nprobe=1), hence the aggregate form.
+_KM_RECALL_MIN_HITS = 8
+
+
+def emb_ivf_kmeans_recall(spark, sf_dir):
+    """Recall invariant of the KMeans-trained IVF (production
+    quantizer) against the brute-force oracle — integer-only output
+    so the gate is float-safe: (n_queries, recall_pass)."""
+    bf = (
+        emb_knn_brute_force(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    km = emb_ivf_topk_kmeans(spark, sf_dir, top_k=3).select(
+        "query_id", "neighbor_id"
+    )
+    nq = bf.agg(F.countDistinct("query_id").cast("bigint").alias("n_queries"))
+    hits = km.join(bf, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return nq.crossJoin(hits).select(
+        "n_queries",
+        (F.col("hits") >= F.lit(_KM_RECALL_MIN_HITS)).alias("recall_pass"),
+    )
+
+
 QUERIES = {
     "emb_knn_brute_force": emb_knn_brute_force,
     "emb_ann_lsh_bucket": emb_ann_lsh_bucket,
     "emb_cosine_near_dup_pairs": emb_cosine_near_dup_pairs,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_ivf_topk_nprobe2": emb_ivf_topk_nprobe2,
+    "emb_ivf_kmeans_recall": emb_ivf_kmeans_recall,
 }
 
 ORACLES = {
+    # the KMeans training itself is not SQL-expressible; the oracle
+    # pins the invariant's EXPECTED outcome (all queries present,
+    # aggregate recall over threshold) — a quantizer regression makes
+    # the Spark side emit recall_pass=false and the gate fails
+    "emb_ivf_kmeans_recall": f"""
+        SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+               CAST(true AS BOOLEAN) AS recall_pass
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    """,
     "emb_knn_brute_force": f"""
         SELECT query_id, neighbor_id, rank FROM (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -224,17 +224,59 @@ class KeyBucketedTarget:
             commit["buckets"] = {str(b): new_version for b in written}
         self._write_commit(commit)
 
-    def watermark(self) -> tuple[int, int]:
-        """(receiver_idx, seq) high-watermark of applied changes."""
+    def watermark(self, writer_id: str | None = None) -> tuple[int, int]:
+        """(receiver_idx, seq) high-watermark of applied changes.
+
+        Watermarks are DOMAIN-SEPARATED like the batch-id fence:
+        the default (no ``writer_id``) returns the tailer-domain
+        watermark, advanced only by positional writers (tailer merges
+        and the initial snapshot). Stream-domain merges record their
+        per-epoch max under their own writer id instead, because the
+        file source gives no cross-epoch position ordering — a stream
+        killed mid-run could otherwise leave the shared watermark
+        ahead of unmerged entries, and a subsequent tailer planning
+        from ``watermark()`` would silently skip them (the mixed
+        tail/stream loss class the writer-namespaced fence closed for
+        batch ids)."""
         c = self.last_commit()
-        if c is None or c.get("watermark") is None:
+        if c is None:
             return (-1, -1)
-        w = c["watermark"]
+        if writer_id is not None:
+            w = (c.get("writer_watermarks") or {}).get(writer_id)
+        else:
+            w = c.get("watermark")
+        if w is None:
+            return (-1, -1)
         return (int(w[0]), int(w[1]))
 
+    def _lineage_summary(self) -> dict:
+        """Compacted per-receiver lineage rolled forward by
+        ``expire_versions`` (receiver_idx -> {seq, events_applied});
+        empty until a vacuum has expired merge commits."""
+        try:
+            with open(f"{self.path}/_commits/_lineage_summary.json") as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
     def lineage(self) -> list[dict]:
-        """Per-partition lineage rows across all commits (FIXTURES §3)."""
-        rows = []
+        """Per-partition lineage rows: the compacted summary of
+        expired commits (so applied watermarks survive vacuuming —
+        without it, receivers whose last activity predates retention
+        would look unapplied and lag would be over-reported) plus the
+        retained commits' rows (FIXTURES §3)."""
+        rows = [
+            {
+                "receiver_idx": int(r),
+                "seq": int(s["seq"]),
+                "events_applied": int(s.get("events_applied", 0)),
+                "processed": True,
+                "batch_id": None,
+                "version": None,
+                "compacted": True,
+            }
+            for r, s in sorted(self._lineage_summary().items(), key=lambda kv: int(kv[0]))
+        ]
         v = self._latest_version()
         for i in range(v + 1):
             try:
@@ -304,6 +346,28 @@ class KeyBucketedTarget:
         keep_from = max(0, latest - keep_last + 1)
         referenced: set[int] = set()
         kept = removed_commits = 0
+        # roll per-receiver applied watermarks of the commits about to
+        # expire into the compacted summary FIRST, so lineage() (and
+        # lag_metrics) stay truthful after the vacuum
+        summary = self._lineage_summary()
+        for v in range(keep_from):
+            try:
+                c = self.commit_at(v)
+            except FileNotFoundError:
+                continue
+            for p in c.get("partitions", []):
+                r = str(int(p["receiver_idx"]))
+                prev = summary.get(r)
+                ev = int(p.get("events_applied", 0))
+                if prev is None:
+                    summary[r] = {"seq": int(p["seq"]), "events_applied": ev}
+                else:
+                    prev["seq"] = max(int(prev["seq"]), int(p["seq"]))
+                    prev["events_applied"] = int(prev["events_applied"]) + ev
+        tmp = f"{self.path}/_commits/_lineage_summary.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(summary, fh)
+        os.replace(tmp, f"{self.path}/_commits/_lineage_summary.json")
         for v in range(latest + 1):
             try:
                 c = self.commit_at(v)
@@ -334,6 +398,45 @@ class KeyBucketedTarget:
             "kept_commits": kept,
         }
 
+    def compact(self, min_versions: int = 2) -> dict:
+        """Iceberg ``rewrite_data_files`` analogue: rewrite the
+        current state into ONE new data version so long-running tails
+        don't accumulate per-version bucket directories between
+        ``expire_versions`` calls. Pure maintenance — no fence, no
+        watermark movement (the commit carries the previous metadata
+        forward), and crash-safe like every write (the ``_latest``
+        flip is last, so a crash mid-rewrite leaves the old state
+        live). A follow-up ``expire_versions`` can then drop every
+        older version directory since nothing retained references
+        them. No-op when the live bucket map already spans fewer than
+        ``min_versions`` versions. Returns version-spread before/after
+        for observability."""
+        last = self.last_commit()
+        if last is None or not last.get("buckets"):
+            return {"skipped": True, "reason": "empty"}
+        spread_before = len(set(last["buckets"].values()))
+        if spread_before < min_versions:
+            return {"skipped": True, "spread": spread_before}
+        state = self.read().drop("bucket")
+        version = self._latest_version() + 1
+        written = self._write_buckets(state, version)
+        commit = {
+            **last,
+            "version": version,
+            "buckets": {str(b): version for b in written},
+            "partitions": [],  # lineage rows belong to merge commits only
+            "ts": time.time(),
+            "kind": "rewrite",
+        }
+        self._write_commit(commit)
+        return {
+            "skipped": False,
+            "version": version,
+            "spread_before": spread_before,
+            "spread_after": 1,
+            "buckets": len(written),
+        }
+
     def changes_between(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:
@@ -341,53 +444,84 @@ class KeyBucketedTarget:
         changelog-scan analogue): one row per key whose state changed,
         with op c (inserted), u (value changed) or d (deleted) and the
         after-image columns (null for d). Plan: full-outer join on the
-        key with per-side row hashes — one shuffle, key-partitioned.
+        key — one shuffle, key-partitioned.
+
+        Rows are compared NULL-SAFELY via struct ``<=>`` (not a hash:
+        Spark hash expressions skip null children, so (a=null,b='x')
+        vs (a='x',b=null) would collide and be reported unchanged);
+        side presence is a literal marker, not value nullness. The
+        position columns (receiver_idx, seq) are emitted but excluded
+        from the change comparison — a value-identical rewrite at a
+        newer position is not an update to a changelog consumer. In
+        delete_mode='rewrite' a ``__deleted`` transition maps to op
+        'd'/'c' (a soft-delete IS a delete to a changelog consumer),
+        and ``__deleted`` itself is excluded from the emitted columns.
         """
         old = self.read(version=from_version)
         new = self.read(version=to_version)
+        cols_src = new if new is not None else old
+        soft = "__deleted" in cols_src.columns
         val_cols = sorted(
-            c for c in (new if new is not None else old).columns
-            if c not in (self.key, "bucket")
+            c for c in cols_src.columns
+            if c not in (self.key, "bucket", "__deleted")
         )
+        cmp_cols = [c for c in val_cols if c not in ("receiver_idx", "seq")]
 
         def side(df, tag):
             if df is None:
                 return None
+            alive = (
+                ~F.coalesce(F.col("__deleted"), F.lit(False))
+                if soft
+                else F.lit(True)
+            )
             return df.select(
                 F.col(self.key),
-                F.xxhash64(*[F.col(c) for c in val_cols]).alias(f"__h_{tag}"),
+                F.lit(True).alias(f"__p_{tag}"),
+                alive.alias(f"__a_{tag}"),
+                F.struct(*[F.col(c) for c in cmp_cols]).alias(f"__v_{tag}"),
                 *[F.col(c).alias(f"__{tag}_{c}") for c in val_cols],
             )
 
         o, n = side(old, "o"), side(new, "n")
+        null_after = [
+            F.lit(None).cast(dict(cols_src.dtypes)[c]).alias(c) for c in val_cols
+        ]
         if o is None and n is None:
             raise FileNotFoundError("both versions empty")
         if o is None:
-            return n.select(
+            return n.filter(F.col("__a_n")).select(
                 self.key,
                 F.lit("c").alias("op"),
                 *[F.col(f"__n_{c}").alias(c) for c in val_cols],
             )
         if n is None:
-            return o.select(
-                self.key,
-                F.lit("d").alias("op"),
-                *[F.lit(None).cast(dict(old.dtypes)[c]).alias(c) for c in val_cols],
+            return o.filter(F.col("__a_o")).select(
+                self.key, F.lit("d").alias("op"), *null_after
             )
         j = o.join(n, self.key, "full_outer")
+        old_alive = F.coalesce(F.col("__p_o") & F.col("__a_o"), F.lit(False))
+        new_alive = F.coalesce(F.col("__p_n") & F.col("__a_n"), F.lit(False))
         op = (
-            F.when(F.col("__h_o").isNull(), "c")
-            .when(F.col("__h_n").isNull(), "d")
-            .when(F.col("__h_o") != F.col("__h_n"), "u")
+            F.when(~old_alive & new_alive, "c")
+            .when(old_alive & ~new_alive, "d")
+            .when(
+                old_alive
+                & new_alive
+                & ~F.col("__v_o").eqNullSafe(F.col("__v_n")),
+                "u",
+            )
         )
+        after = [
+            F.when(F.col("op") == "d", F.lit(None).cast(dict(cols_src.dtypes)[c]))
+            .otherwise(F.col(f"__n_{c}"))
+            .alias(c)
+            for c in val_cols
+        ]
         return (
             j.withColumn("op", op)
             .filter(F.col("op").isNotNull())
-            .select(
-                self.key,
-                "op",
-                *[F.col(f"__n_{c}").alias(c) for c in val_cols],
-            )
+            .select(self.key, "op", *after)
         )
 
     # ---- write paths ----------------------------------------------------
@@ -552,19 +686,37 @@ class KeyBucketedTarget:
                 del bucket_map[str(b)]
 
         # the committed watermark is monotone: an out-of-order batch
-        # (file-source disorder) must never move it backwards
+        # (file-source disorder) must never move it backwards. Writer
+        # domains are separated (see watermark() docstring): only a
+        # positional writer (writer_id=None: the tailer) advances the
+        # shared watermark; a namespaced writer records its own.
         prev_wm = (last or {}).get("watermark")
-        if watermark is not None and prev_wm is not None:
-            new_wm = list(max(tuple(watermark), (int(prev_wm[0]), int(prev_wm[1]))))
-        elif watermark is not None:
-            new_wm = list(watermark)
+        writer_wms = dict((last or {}).get("writer_watermarks") or {})
+        if writer_id is None:
+            if watermark is not None and prev_wm is not None:
+                new_wm = list(
+                    max(tuple(watermark), (int(prev_wm[0]), int(prev_wm[1])))
+                )
+            elif watermark is not None:
+                new_wm = list(watermark)
+            else:
+                new_wm = prev_wm
         else:
             new_wm = prev_wm
+            if watermark is not None:
+                prev = writer_wms.get(writer_id)
+                if prev is not None:
+                    writer_wms[writer_id] = list(
+                        max(tuple(watermark), (int(prev[0]), int(prev[1])))
+                    )
+                else:
+                    writer_wms[writer_id] = list(watermark)
         commit = {
             "version": version,
             "batch_id": effective_id,
             "buckets": bucket_map,
             "watermark": new_wm,
+            "writer_watermarks": writer_wms,
             "partitions": partitions or [],
             "ts": time.time(),
             "kind": "merge",

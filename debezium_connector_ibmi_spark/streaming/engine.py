@@ -128,12 +128,20 @@ def _require_single_table(cfg: EngineConfig) -> None:
 
 
 class JournalTailer:
-    def __init__(self, spark: SparkSession, cfg: EngineConfig, evolution=None):
+    def __init__(
+        self, spark: SparkSession, cfg: EngineConfig, evolution=None, target=None
+    ):
+        """``target``: any sink implementing the merge-target
+        interface (merge / watermark / last_batch_id /
+        last_writer_batch_id / record_writer_progress) — the parquet
+        ``KeyBucketedTarget`` by default, ``IcebergTarget`` in
+        production. Both fence identically (interface-parity test:
+        tests/test_iceberg_binding.py)."""
         _require_single_table(cfg)
         self.spark = spark
         self.cfg = cfg
         self.evolution = evolution  # EvolutionSpec or None
-        self.target = KeyBucketedTarget(
+        self.target = target or KeyBucketedTarget(
             spark,
             cfg.target_path,
             key=cfg.key_column,
@@ -170,7 +178,11 @@ class JournalTailer:
         n_quarantined = 0
         if self.cfg.quarantine_enabled:
             # S10 diagnostic dump: row events whose payload cannot be
-            # decoded (insert/update with no after-image bytes)
+            # decoded (insert/update with no after-image bytes). The
+            # count piggybacks on the write action via observe() —
+            # one job, not a count() + a write
+            from pyspark.sql import Observation
+
             from debezium_connector_ibmi_spark.functions.optype import op_type_col
 
             bad = sliced.filter(
@@ -180,9 +192,17 @@ class JournalTailer:
                 & F.col("table_name").isin(*self.cfg.table_include_list)
             )
             qpath = f"{self.cfg.target_path.rstrip('/')}/_quarantine/batch_id={batch_id}"
-            n_quarantined = bad.count()
-            if n_quarantined:
-                bad.write.mode("overwrite").parquet(qpath)
+            obs = Observation(f"quarantine-{batch_id}")
+            bad.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(qpath)
+            n_quarantined = int(obs.get["n"])
+            if not n_quarantined:
+                # keep the quarantine dir list = the batches that
+                # actually quarantined something
+                import shutil
+
+                shutil.rmtree(qpath, ignore_errors=True)
         # persist: the sink takes 2 actions over the batch (bucket
         # discovery + merge write); without this the whole decode
         # pipeline would re-execute per action
@@ -346,9 +366,14 @@ def run_structured_stream(
     cfg: EngineConfig,
     available_now: bool = True,
     evolution=None,
+    target=None,
 ):
     """Structured Streaming variant: file-source micro-batches into
     the same exactly-once sink via foreachBatch.
+
+    ``target`` may be any merge-target (KeyBucketedTarget default,
+    IcebergTarget in production) — the writer-namespaced fence
+    interface is identical on both.
 
     Note: the file source does not guarantee (receiver_idx, seq)
     order across batches; the sink's position-aware merge keeps the
@@ -361,7 +386,7 @@ def run_structured_stream(
     )
 
     _require_single_table(cfg)
-    target = KeyBucketedTarget(
+    target = target or KeyBucketedTarget(
         spark,
         cfg.target_path,
         key=cfg.key_column,
@@ -395,7 +420,14 @@ def run_structured_stream(
         ).collect()[0]["w"]
         # epoch_id is a DIFFERENT id domain than the tailer's
         # last_batch_id()+1 counter — namespace the fence per writer
-        # so mixed tail/stream runs on one target can't silently skip
+        # so mixed tail/stream runs on one target can't silently skip.
+        # The watermark is namespaced too (sink-side): file-source
+        # epochs carry no cross-epoch position ordering, so this
+        # writer's per-epoch max must never advance the SHARED
+        # watermark a later tailer plans from — a stream killed
+        # mid-run would leave it ahead of unmerged entries and the
+        # tailer would skip them. Stream restarts resume from the
+        # Spark checkpoint, not the sink watermark.
         target.merge(
             batch,
             batch_id=epoch_id,

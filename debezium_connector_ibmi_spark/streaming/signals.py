@@ -83,11 +83,16 @@ class SignalProcessor:
         )
 
     def pending(self) -> list[dict]:
-        """Unprocessed signals, oldest first (fence-filtered)."""
-        try:
-            df = self.spark.read.schema(SIGNAL_SCHEMA).parquet(self.signal_path)
-        except Exception:
+        """Unprocessed signals, oldest first (fence-filtered).
+
+        Only an ABSENT channel means 'no signals'; any other failure
+        (corrupt parquet, permissions, schema mismatch) propagates —
+        swallowing it would silently stop signal processing."""
+        import os
+
+        if not os.path.exists(self.signal_path):
             return []
+        df = self.spark.read.schema(SIGNAL_SCHEMA).parquet(self.signal_path)
         last = self.target.last_writer_batch_id(SIGNAL_WRITER_ID)
         rows = (
             df.filter(F.col("signal_id") > last)

@@ -74,6 +74,9 @@ def main(argv=None):
         if name == "tail":
             s.add_argument("--follow", action="store_true")
             s.add_argument("--poll-ms", type=int, default=2000)
+            # N tables -> multi-table fan-out (one journal scan, one
+            # per-table target under <target>/<table_lower>)
+            s.add_argument("--tables", default="PAGES")
             # process pending execute-snapshot signals each poll; the
             # source-table provider is the deterministic pages datagen
             s.add_argument("--process-signals", action="store_true")
@@ -94,6 +97,11 @@ def main(argv=None):
     vc.add_argument("--target", required=True)
     vc.add_argument("--buckets", type=int, default=32)
     vc.add_argument("--keep-last", type=int, default=10)
+
+    cp = sub.add_parser("compact")  # rewrite_data_files analogue
+    cp.add_argument("--target", required=True)
+    cp.add_argument("--buckets", type=int, default=32)
+    cp.add_argument("--min-versions", type=int, default=2)
 
     args = p.parse_args(argv)
 
@@ -138,6 +146,13 @@ def main(argv=None):
         print(json.dumps(t.expire_versions(keep_last=args.keep_last)))
         return 0
 
+    if args.cmd == "compact":
+        from debezium_connector_ibmi_spark.sinks.merge import KeyBucketedTarget
+
+        t = KeyBucketedTarget(spark, args.target, num_buckets=args.buckets)
+        print(json.dumps(t.compact(min_versions=args.min_versions)))
+        return 0
+
     if args.cmd == "signal":
         from debezium_connector_ibmi_spark.streaming.signals import send_signal
 
@@ -155,6 +170,34 @@ def main(argv=None):
         from debezium_connector_ibmi_spark.streaming.engine import JournalTailer
 
         cfg = _cfg(args)
+        tables = tuple(t for t in args.tables.split(",") if t)
+        if len(tables) > 1:
+            # multi-table fan-out: one journal scan, per-table targets
+            from dataclasses import replace
+
+            from debezium_connector_ibmi_spark.streaming.fanout import (
+                MultiTableTailer,
+            )
+
+            mt = MultiTableTailer(spark, replace(cfg, table_include_list=tables))
+            while True:
+                out = mt.run_to_head()
+                for it in out:
+                    print(json.dumps(it, default=str), file=sys.stderr)
+                if not args.follow:
+                    break
+                time.sleep(args.poll_ms / 1000.0)
+            print(
+                json.dumps(
+                    {
+                        "tables": {
+                            t: list(wm) for t, wm in mt.watermarks().items()
+                        },
+                        "iterations": len(out),
+                    }
+                )
+            )
+            return 0
         tailer = JournalTailer(spark, cfg)
         sig_proc = None
         if args.process_signals:
