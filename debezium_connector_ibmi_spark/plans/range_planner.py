@@ -85,6 +85,69 @@ def receiver_lineage(journal: DataFrame) -> list[dict]:
     return [{**r.asDict(), "receiver": None} for r in rows]
 
 
+def receiver_lineage_from_footers(path: str) -> list[dict] | None:
+    """Metadata-only receiver-chain discovery: min/max(seq) and row
+    counts straight from the parquet FOOTER statistics of each
+    ``receiver_idx=N`` partition directory — zero data scanned, the
+    local-filesystem analogue of Iceberg answering this from
+    manifests (which is exactly what the 100 TB deployment does; the
+    reference asks the server, JournalInfoRetrieval.java:247-343).
+
+    Rationale: Spark's parquet aggregate pushdown only applies to the
+    DSv2 reader (off by default), so ``receiver_lineage`` pays a
+    full 2-column scan per tailer start — measured ~5.5 s at 2 cores
+    on a 16M-entry journal, pure fixed cost that dilutes wall-clock
+    scaling. Footers give the same numbers in milliseconds.
+
+    Returns None (caller falls back to the scan) when the layout is
+    not receiver-partitioned parquet or any file lacks seq stats.
+    """
+    import glob as _glob
+    import os as _os
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return None
+
+    part_dirs = sorted(_glob.glob(_os.path.join(path, "receiver_idx=*")))
+    if not part_dirs:
+        return None
+    out = []
+    for d in part_dirs:
+        try:
+            ridx = int(d.rsplit("=", 1)[1])
+        except ValueError:
+            return None
+        lo = hi = None
+        n = 0
+        for f in _glob.glob(_os.path.join(d, "*.parquet")):
+            md = pq.read_metadata(f)
+            n += md.num_rows
+            try:
+                ci = md.schema.names.index("seq")
+            except ValueError:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            continue  # empty partition dir
+        out.append(
+            {
+                "receiver_idx": ridx,
+                "min_seq": int(lo),
+                "max_seq": int(hi),
+                "n_entries": int(n),
+                "receiver": None,
+            }
+        )
+    return out or None
+
+
 def usable_chain(chain: list[dict]) -> list[dict]:
     """A2 ``lastJoined`` semantics: receivers before a gap in the
     chain are unreachable (detached/deleted receiver) — keep only the

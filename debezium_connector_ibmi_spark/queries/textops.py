@@ -129,6 +129,59 @@ _SIMHASH_SQL = (
 )
 
 
+def _dup_edges(spark, sf_dir):
+    """The duplicate GRAPH a dedup pipeline clusters over: exact-dup
+    star edges (min-id -> other ids per identical fingerprint, same
+    components as all-pairs at linear edge count) UNION the verified
+    near-dup pairs (banded LSH -> exact Jaccard)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    fp = docs.select("doc_id", ta.fingerprint().alias("fp"))
+    w = Window.partitionBy("fp")
+    star = (
+        fp.withColumn("m", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("m"))
+        .select(F.col("m").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    nd = ta.lsh_verified_near_dups(
+        docs, id_col="doc_id", seeds=_SEEDS, n=_N_SHINGLE,
+        threshold_num=3, threshold_den=10,
+    ).select("id_a", "id_b")
+    return star.union(nd)
+
+
+def doc_dup_clusters(spark, sf_dir):
+    """Transitive closure of the duplicate graph: (doc_id, cluster_id)
+    for every document (cluster_id = min doc id in the component;
+    singletons map to themselves). Pair detection alone cannot dedup —
+    A~B, B~C must collapse into ONE cluster even when A~C was never
+    emitted. Min-label propagation, rounds bounded by the (tiny)
+    duplicate-cluster diameter (operators/dedup_cluster.py)."""
+    from debezium_connector_ibmi_spark.operators.dedup_cluster import (
+        cluster_assignments,
+    )
+
+    return cluster_assignments(
+        _docs(spark, sf_dir), _dup_edges(spark, sf_dir)
+    )
+
+
+def doc_dedup_keep_best(spark, sf_dir):
+    """Representative selection: per duplicate cluster keep the
+    highest-token-count doc (min doc_id tiebreak) — the 'choose one
+    survivor per cluster' step of a training-data dedup pipeline."""
+    from debezium_connector_ibmi_spark.operators.dedup_cluster import (
+        cluster_assignments,
+        keep_best_per_cluster,
+    )
+
+    docs = _docs(spark, sf_dir)
+    assignments = cluster_assignments(docs, _dup_edges(spark, sf_dir))
+    quality = docs.select("doc_id", ta.token_count().alias("quality"))
+    return keep_best_per_cluster(assignments, quality)
+
+
 def doc_near_dup_verified(spark, sf_dir):
     """The composed scale path: banded-LSH candidates → exact n-gram
     Jaccard verification on candidates only (no all-pairs shingle
@@ -306,6 +359,8 @@ QUERIES = {
     "doc_lsh_near_dup_pairs": doc_lsh_near_dup_pairs,
     "doc_simhash": doc_simhash,
     "doc_near_dup_verified": doc_near_dup_verified,
+    "doc_dup_clusters": doc_dup_clusters,
+    "doc_dedup_keep_best": doc_dedup_keep_best,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
 }
 
@@ -475,4 +530,87 @@ ORACLES = {
         WHERE 10 * inter >= 3 * (ca.n_sh + cb.n_sh - inter)
     """,
     "doc_ngram_jaccard_pairs": _JACCARD_SQL,
+    "doc_dup_clusters": None,  # filled below (shared CTE chain)
+    "doc_dedup_keep_best": None,
 }
+
+# Duplicate-graph CTE chain shared by the clustering oracles: verified
+# near-dup pairs (same chain as doc_near_dup_verified) + exact-dup
+# star edges, symmetrized, transitively closed by a recursive CTE
+# (DuckDB computes the closure; Spark computes the same components via
+# min-label propagation — operators/dedup_cluster.py).
+_DUP_GRAPH_CTES = f"""
+        sig AS ({_MINHASH_SQL}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             AND ((a.minhash_0 = b.minhash_0 AND a.minhash_1 = b.minhash_1)
+               OR (a.minhash_2 = b.minhash_2 AND a.minhash_3 = b.minhash_3))
+        ), w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ), pos AS (
+            SELECT doc_id, unnest(words) AS word,
+                   generate_subscripts(words, 1) AS p
+            FROM w
+        ), sh0 AS (
+            SELECT doc_id,
+                   word || ' ' || lead(word, 1) OVER win || ' ' ||
+                   lead(word, 2) OVER win AS shingle,
+                   p, count(*) OVER (PARTITION BY doc_id) AS n_words
+            FROM pos
+            WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+            QUALIFY p <= n_words - 2
+        ), sh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh0
+        ), counts AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        ), nd AS (
+            SELECT doc_a AS id_a, doc_b AS id_b FROM inter
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE 10 * inter >= 3 * (ca.n_sh + cb.n_sh - inter)
+        ), star AS (
+            SELECT m AS id_a, doc_id AS id_b FROM (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY md5(text)) AS m
+                FROM documents
+            ) WHERE doc_id <> m
+        ), edges0 AS (
+            SELECT id_a, id_b FROM star UNION SELECT id_a, id_b FROM nd
+        ), sym AS (
+            SELECT id_a AS a, id_b AS b FROM edges0
+            UNION SELECT id_b, id_a FROM edges0
+        ), reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+        ), comp AS (
+            SELECT a AS doc_id, min(b) AS m FROM reach GROUP BY a
+        ), clusters AS (
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(c.m, d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        )
+"""
+
+ORACLES["doc_dup_clusters"] = (
+    f"WITH RECURSIVE {_DUP_GRAPH_CTES} SELECT doc_id, cluster_id FROM clusters"
+)
+ORACLES["doc_dedup_keep_best"] = f"""
+    WITH RECURSIVE {_DUP_GRAPH_CTES}
+    SELECT cluster_id, keeper_doc_id, n_docs FROM (
+        SELECT c.cluster_id, d.doc_id AS keeper_doc_id,
+               count(*) OVER (PARTITION BY c.cluster_id) AS n_docs,
+               row_number() OVER (PARTITION BY c.cluster_id
+                   ORDER BY len(string_split(d.text, ' ')) DESC, d.doc_id
+               ) AS rn
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    ) WHERE rn = 1
+"""

@@ -39,6 +39,7 @@ from debezium_connector_ibmi_spark.plans.range_planner import (
     PositionRange,
     plan_next_range,
     receiver_lineage,
+    receiver_lineage_from_footers,
     usable_chain,
     validate_position,
 )
@@ -301,7 +302,14 @@ class JournalTailer:
         watermark, so killing the process anywhere and rerunning
         resumes correctly."""
         journal = self._read_journal()
-        chain = usable_chain(receiver_lineage(journal))
+        # chain discovery: parquet footers (metadata-only, Iceberg-
+        # manifest analogue) when the layout allows, else the 2-column
+        # scan — the fixed per-run cost this removes is what dilutes
+        # wall-clock scaling efficiency at small core counts
+        chain = usable_chain(
+            receiver_lineage_from_footers(self.cfg.journal_path)
+            or receiver_lineage(journal)
+        )
         out = []
         # T6: invalid-position triage before the loop (the reference's
         # CPF7053 handling: fail, or reset-to-earliest with a logged

@@ -38,6 +38,7 @@ from debezium_connector_ibmi_spark.plans.range_planner import (
     PositionRange,
     plan_next_range,
     receiver_lineage,
+    receiver_lineage_from_footers,
     usable_chain,
 )
 from debezium_connector_ibmi_spark.streaming.engine import JournalTailer
@@ -79,7 +80,10 @@ class MultiTableTailer:
         and persists it once, and fans the slice out to each table's
         own fenced merge (tables already past the range skip)."""
         journal = next(iter(self.tailers.values()))._read_journal()
-        chain = usable_chain(receiver_lineage(journal))
+        chain = usable_chain(
+            receiver_lineage_from_footers(self.cfg.journal_path)
+            or receiver_lineage(journal)
+        )
         out: list[dict] = []
         while max_batches is None or len(out) < max_batches:
             wms = self.watermarks()

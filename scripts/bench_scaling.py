@@ -54,6 +54,12 @@ cfg = EngineConfig(
     journal_format=journal_format,
 )
 tailer = JournalTailer(spark, cfg)
+# JVM/codegen warmup before the measured window: a real cluster's
+# executors are long-running (already warm) when a job lands on them;
+# an unwarmed first action charges ~3s of one-time JIT/codegen init to
+# whichever level runs it, which is pure protocol noise in a ratio.
+# Same practice as bench.py's warmup before the headline queries.
+spark.range(1_000_000).selectExpr("sum(id)").collect()
 t0 = time.time()
 stats = tailer.run_to_head()
 wall = time.time() - t0
@@ -160,7 +166,8 @@ if {fmt!r} == "binary":
             fh.write(
                 f"\n## Scaling run (n_ops={n_ops}, format={fmt}, ~2KB payloads, "
                 f"taskset-pinned local[{n_small}] vs local[{n_big}], "
-                f"2g/core, shuffle=4x cores, tmpfs shuffle dirs)\n\n"
+                f"2g/core, shuffle=4x cores, tmpfs shuffle dirs, "
+                f"warmed JVM [protocol v2])\n\n"
                 f"| level | wall s | apply s | events | ev/s (wall) |"
                 f" ev/s (apply) |\n|---|---|---|---|---|---|\n"
                 f"| local[{n_small}] | {rs['wall_sec']:.1f} |"

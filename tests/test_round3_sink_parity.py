@@ -458,6 +458,40 @@ def test_iceberg_tolerant_alter_replay():
     assert sum("DROP COLUMN score" in s for s in fake.statements) == 1
 
 
+def test_footer_lineage_equals_scan_lineage(spark, tmpdir_path):
+    """Metadata-only receiver-chain discovery (parquet footer stats,
+    the Iceberg-manifest analogue) must equal the 2-column scan on
+    both journal layouts, and fall back to None off-layout."""
+    from debezium_connector_ibmi_spark.datagen.journal import (
+        JournalGenConfig,
+        write_journal,
+    )
+    from debezium_connector_ibmi_spark.plans.range_planner import (
+        receiver_lineage,
+        receiver_lineage_from_footers,
+    )
+    from debezium_connector_ibmi_spark.sources.journal_source import (
+        read_binary_journal,
+        read_journal,
+        write_binary_journal,
+    )
+
+    gen = JournalGenConfig(n_urls=40, n_ops=500, txn_size=25, receiver_rotation=100)
+    write_journal(spark, gen, f"{tmpdir_path}/j", num_files=4)
+    write_binary_journal(
+        read_journal(spark, f"{tmpdir_path}/j"), f"{tmpdir_path}/jb", num_files=4
+    )
+    for path, rd in [
+        (f"{tmpdir_path}/j", read_journal),
+        (f"{tmpdir_path}/jb", read_binary_journal),
+    ]:
+        assert receiver_lineage_from_footers(path) == receiver_lineage(
+            rd(spark, path)
+        ), path
+    # not receiver-partitioned -> None (callers fall back to the scan)
+    assert receiver_lineage_from_footers(tmpdir_path) is None
+
+
 def test_signal_channel_errors_propagate(spark, tmpdir_path):
     """ADVICE low: only an absent channel means 'no signals'; a
     corrupt channel must raise, not silently stop signal processing."""
