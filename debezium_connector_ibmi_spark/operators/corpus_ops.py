@@ -1,0 +1,163 @@
+"""Corpus-level operators for training-data pipelines: PII scrubbing,
+benchmark decontamination, deterministic sampling, and chunk-level
+dedup — the steps that run between raw web-text ingest (the CDC side
+of this engine) and training-sample emission.
+
+All pure Catalyst column expressions / DataFrame ops — JVM-side,
+codegen'd, no Python in the hot path. Every randomness-shaped choice
+(sampling, bucketing) is an md5 hash of the row's own key, so results
+are deterministic, engine-portable (DuckDB oracles reproduce them
+bit-for-bit) and — critically at 100 TB — stable under re-partitioning
+and retry, unlike ``rand()``-based sampling whose output depends on
+task scheduling.
+
+Scale shapes:
+- ``pii_scrub``: map-only regexp_replace chain (whole-stage codegen).
+- ``contamination``: docs join a *broadcast* distinct-shingle set of
+  the benchmark (benchmark suites are a few thousand documents even
+  when the corpus is 100 TB) — no shuffle of the corpus.
+- ``hash_sample``: map-only filter on an md5-derived bucket; the
+  filter is pushed into the scan stage, so a 1% sample reads the
+  text column once and shuffles nothing.
+- ``chunk_dedup``: one hash-shuffle on the chunk fingerprint with a
+  map-side partial (min_by), same skew-proof shape as the CDC
+  compaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from debezium_connector_ibmi_spark.operators.text_analysis import (
+    chunk_tokens,
+    shingles,
+)
+
+# RE2-compatible patterns (no backrefs / lookaround) so any engine —
+# Spark's Java regex, DuckDB/RE2, Flink — applies them identically.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(text: Column | str = "text") -> Column:
+    """Redact common PII shapes (emails, NANP-style phone numbers,
+    IPv4 addresses) with typed placeholder tokens. Order matters:
+    emails first (their local part can contain digits that the phone
+    pattern would otherwise bite into), IPs last (a phone never
+    contains dots under these patterns, so the pair is order-free,
+    but IP-after-email avoids scrubbing inside already-replaced
+    hosts)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def hash_bucket(key: Column, n_buckets: int = 100, salt: str = "") -> Column:
+    """Deterministic engine-portable bucket in [0, n_buckets): md5 of
+    (salt || key-as-string), first 6 hex digits as an integer, mod n.
+    Used for sampling and split assignment (train/val/test); md5 (not
+    xxhash64) because the driver's DuckDB oracle must reproduce it."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % n_buckets)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rate_pct: int,
+    salt: str = "sample",
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Keep rows whose hash bucket < rate_pct — a deterministic
+    ~rate_pct% sample that is reproducible across engines, runs and
+    partitionings (``rand()`` samples are none of these). Map-only;
+    at 100 TB the filter sits inside the scan's codegen stage."""
+    return df.filter(hash_bucket(F.col(key_col), n_buckets, salt) < rate_pct)
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, count
+    distinct n-gram shingles it shares with ANY benchmark document
+    (the standard train/test-overlap check before training). Returns
+    (id_col, n_overlap, contaminated).
+
+    Scale shape: the benchmark's distinct shingle set is broadcast
+    (benchmark suites are tiny next to the corpus), so the corpus is
+    scanned once, exploded to distinct (doc, shingle) pairs, and
+    joined map-side — no corpus shuffle. Docs shorter than n words
+    have no shingles and are reported clean."""
+    from debezium_connector_ibmi_spark.operators.text_analysis import words_col
+
+    long_enough = F.size(words_col(text)) >= n
+    doc_sh = (
+        docs.filter(long_enough)
+        .select(F.col(id_col), F.explode(shingles(text, n=n)).alias("shingle"))
+        .distinct()
+    )
+    bench_sh = (
+        benchmark.filter(long_enough)
+        .select(F.explode(shingles(text, n=n)).alias("shingle"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    chunk_size: int = 20,
+    overlap: int = 0,
+) -> DataFrame:
+    """Chunk-level (paragraph-analogue) dedup accounting: chunk every
+    document into fixed token windows, fingerprint each chunk, and
+    mark as duplicate every chunk whose fingerprint already appeared
+    at a lower (doc_id, chunk_idx) — global first-occurrence wins,
+    the CCNet paragraph-dedup discipline applied to token windows
+    (this corpus has no newlines; on real web text pass paragraphs).
+    Returns per-document (id_col, n_chunks, n_dup_chunks).
+
+    One hash-shuffle on the chunk fingerprint with a map-side min_by
+    partial to find each fingerprint's keeper, then one shuffle back
+    by document — both aggregations, no windows, skew-proof."""
+    chunks = chunk_tokens(
+        df, id_col=id_col, text=text, chunk_size=chunk_size, overlap=overlap
+    ).select(F.col(id_col), "chunk_idx", F.md5("chunk_text").alias("fp"))
+    keeper = chunks.groupBy("fp").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("k")
+    )
+    marked = chunks.join(keeper, "fp").select(
+        F.col(id_col),
+        (
+            (F.col(f"k.{id_col}") != F.col(id_col))
+            | (F.col("k.chunk_idx") != F.col("chunk_idx"))
+        ).cast("int").alias("is_dup"),
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("is_dup").cast("long").alias("n_dup_chunks"),
+    )

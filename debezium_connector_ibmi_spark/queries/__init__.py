@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from debezium_connector_ibmi_spark.queries import (
     cdc,
+    corpusops,
     embeddingops,
     misc_ops,
     multimodalops,
@@ -20,7 +21,7 @@ from debezium_connector_ibmi_spark.queries import (
 
 _MODULES = (
     cdc, relational, textops, embeddingops, misc_ops, parity_ops,
-    multimodalops,
+    multimodalops, corpusops,
 )
 
 

@@ -1,0 +1,234 @@
+"""Driver-contract corpus-pipeline queries over ``documents`` — thin
+bindings of ``operators/corpus_ops.py`` (PII scrubbing, benchmark
+decontamination, deterministic hash sampling, length histograms,
+chunk-level dedup), each with an exact DuckDB oracle.
+
+Determinism notes: all sampling/bucketing is md5-of-key (engine-
+portable, partition-stable); PII scrubbing is exercised by injecting
+synthetic PII derived from ``doc_id`` on BOTH sides (the corpus
+itself contains none), so the regex semantics are actually compared
+across engines rather than passing vacuously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debezium_connector_ibmi_spark.operators import corpus_ops as co
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------- PII
+
+def doc_pii_scrub(spark, sf_dir):
+    """PII redaction: emails / phone numbers / IPv4 replaced with
+    typed placeholders. Synthetic PII is appended deterministically
+    from doc_id so the redaction path is actually exercised."""
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" u"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com on 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-123-4567"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        co.pii_scrub(injected).alias("scrubbed"),
+        F.length(co.pii_scrub(injected)).alias("scrubbed_len"),
+    )
+
+
+# ------------------------------------------------------ decontaminate
+
+_DECON_N = 5
+_BENCH_MOD = 97
+
+
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any
+    5-gram shingle with the held-out benchmark slice
+    (doc_id % 97 == 0)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return co.contamination(corpus, bench, n=_DECON_N)
+
+
+# ----------------------------------------------------------- sampling
+
+_SAMPLE_PCT = 20
+_SAMPLE_SALT = "round3"
+
+
+def doc_sample_stratified(spark, sf_dir):
+    """Deterministic ~20% hash sample (md5-bucket of doc_id) —
+    reproducible across engines/runs/partitionings, with the bucket
+    exposed so the oracle verifies the hash itself, not just the
+    rate."""
+    d = co.hash_sample(
+        _docs(spark, sf_dir), "doc_id", _SAMPLE_PCT, salt=_SAMPLE_SALT
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        co.hash_bucket(F.col("doc_id"), 100, _SAMPLE_SALT)
+        .cast("long")
+        .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------- histogram
+
+def doc_length_histogram(spark, sf_dir):
+    """Token-length histogram per language (bucket = n_tokens div
+    10): the length-distribution audit run before/after filtering."""
+    from debezium_connector_ibmi_spark.operators.text_analysis import (
+        token_count,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "lang", token_count().alias("n_tokens")
+    )
+    return (
+        d.groupBy(
+            "lang", F.expr("n_tokens div 10").cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )
+
+
+# -------------------------------------------------------- chunk dedup
+
+_CD_CHUNK = 20
+
+
+def doc_chunk_dedup(spark, sf_dir):
+    """Chunk-level dedup accounting (CCNet paragraph-dedup shape on
+    20-token windows): per doc, how many chunks survive global
+    first-occurrence dedup."""
+    return co.chunk_dedup_stats(
+        _docs(spark, sf_dir), chunk_size=_CD_CHUNK, overlap=0
+    )
+
+
+QUERIES = {
+    "doc_pii_scrub": doc_pii_scrub,
+    "doc_decontaminate": doc_decontaminate,
+    "doc_sample_stratified": doc_sample_stratified,
+    "doc_length_histogram": doc_length_histogram,
+    "doc_chunk_dedup": doc_chunk_dedup,
+}
+
+
+_PII_INJECT = (
+    "text || ' u' || CAST(doc_id AS VARCHAR) || '@mail.example.com on 10.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-123-4567'"
+)
+# same RE2 patterns as operators/corpus_ops.PII_PATTERNS; DuckDB needs
+# the 'g' flag (its regexp_replace is first-match-only by default,
+# Spark's replaces all)
+_PII_SCRUB_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(" + _PII_INJECT + ", "
+    r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    r"'\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'), "
+    r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')"
+)
+
+_STRIDE = _CD_CHUNK  # overlap=0
+
+ORACLES = {
+    "doc_pii_scrub": f"""
+        SELECT doc_id,
+               {_PII_SCRUB_SQL} AS scrubbed,
+               CAST(len({_PII_SCRUB_SQL}) AS INT) AS scrubbed_len
+        FROM documents
+    """,
+    "doc_decontaminate": f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            WHERE len(string_split(text, ' ')) >= {_DECON_N}
+        ), pos AS (
+            SELECT doc_id, unnest(words) AS word,
+                   generate_subscripts(words, 1) AS p
+            FROM w
+        ), sh0 AS (
+            SELECT doc_id,
+                   word || ' ' || lead(word, 1) OVER win || ' ' ||
+                   lead(word, 2) OVER win || ' ' ||
+                   lead(word, 3) OVER win || ' ' ||
+                   lead(word, 4) OVER win AS shingle,
+                   p, count(*) OVER (PARTITION BY doc_id) AS n_words
+            FROM pos
+            WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+            QUALIFY p <= n_words - {_DECON_N - 1}
+        ), sh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh0
+        ), bsh AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+        ), hits AS (
+            SELECT s.doc_id, count(*) AS n
+            FROM sh s JOIN bsh USING (shingle)
+            WHERE s.doc_id % {_BENCH_MOD} <> 0
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % {_BENCH_MOD} <> 0
+    """,
+    "doc_sample_stratified": f"""
+        SELECT doc_id, lang, bucket FROM (
+            SELECT doc_id, lang,
+                   CAST(CAST('0x' || substring(
+                       md5('{_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)),
+                       1, 6) AS INT) % 100 AS BIGINT) AS bucket
+            FROM documents
+        ) WHERE bucket < {_SAMPLE_PCT}
+    """,
+    "doc_length_histogram": """
+        SELECT lang,
+               CAST(n_tokens // 10 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+               CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        FROM (
+            SELECT lang, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ) GROUP BY 1, 2
+    """,
+    "doc_chunk_dedup": f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents
+            WHERE len(string_split(text, ' ')) > 0
+        ), x AS (
+            SELECT doc_id, words,
+                   unnest(range(0, greatest(1,
+                       (len(words) + {_STRIDE - 1}) // {_STRIDE}))) AS i
+            FROM w
+        ), chunks AS (
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   md5(array_to_string(list_slice(words,
+                       i * {_STRIDE} + 1,
+                       i * {_STRIDE} + {_CD_CHUNK}), ' ')) AS fp
+            FROM x
+        ), keeper AS (
+            SELECT fp, min(struct_pack(d := doc_id, c := chunk_idx)) AS k
+            FROM chunks GROUP BY fp
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN k.d <> doc_id OR k.c <> chunk_idx
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        FROM chunks JOIN keeper USING (fp)
+        GROUP BY doc_id
+    """,
+}

@@ -1,0 +1,102 @@
+"""Corpus-pipeline operators (operators/corpus_ops.py): PII scrub
+regex semantics on crafted strings (the driver-gate corpus has no
+real PII, so the functional behavior is proven here), deterministic
+hash sampling, benchmark decontamination, chunk-level dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debezium_connector_ibmi_spark.operators.corpus_ops import (
+    chunk_dedup_stats,
+    contamination,
+    hash_bucket,
+    hash_sample,
+    pii_scrub,
+)
+
+
+def _scrub_one(spark, s: str) -> str:
+    return (
+        spark.createDataFrame([(s,)], "text string")
+        .select(pii_scrub("text").alias("o"))
+        .first()["o"]
+    )
+
+
+def test_pii_scrub_email_phone_ip(spark):
+    assert (
+        _scrub_one(spark, "mail a.b+c%d@sub.example.co.uk now")
+        == "mail <EMAIL> now"
+    )
+    assert _scrub_one(spark, "call 555-123-4567 or 555 987 6543 x") == (
+        "call <PHONE> or <PHONE> x"
+    )
+    assert _scrub_one(spark, "host 192.168.0.1 and 10.0.255.7.") == (
+        "host <IP> and <IP>."
+    )
+    # email wins over the phone/IP patterns inside its own match
+    assert _scrub_one(spark, "x 555.123.4567@digits.example.com y") == (
+        "x <EMAIL> y"
+    )
+
+
+def test_pii_scrub_leaves_clean_text_alone(spark):
+    s = "no pii here just words and numbers like 42 or 3.14"
+    assert _scrub_one(spark, s) == s
+
+
+def test_hash_sample_deterministic_and_partition_stable(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in hash_sample(df, "k", 10).collect())
+    b = sorted(
+        r["k"]
+        for r in hash_sample(df.repartition(13), "k", 10).collect()
+    )
+    assert a == b, "sample must not depend on partitioning"
+    # ~10% with slack; exact count is pinned by determinism above
+    assert 120 <= len(a) <= 280
+    # different salt -> different (still deterministic) sample
+    c = sorted(r["k"] for r in hash_sample(df, "k", 10, salt="other").collect())
+    assert a != c
+    # buckets cover [0, 100)
+    rng = df.select(hash_bucket(F.col("k")).alias("b")).agg(
+        F.min("b"), F.max("b")
+    ).first()
+    assert rng[0] >= 0 and rng[1] < 100
+
+
+def test_contamination_flags_overlap_only(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains bench 5-gram
+            (2, "one two three four five six"),          # disjoint
+            (3, "tiny doc"),                             # shorter than n -> clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in contamination(docs, bench, n=5).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    # doc 1: two identical 3-token chunks; doc 2 repeats doc 1's first
+    # chunk. Keeper = lowest (doc_id, chunk_idx).
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c x y z")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"])
+        for r in chunk_dedup_stats(docs, chunk_size=3).collect()
+    }
+    assert out[1] == (2, 1)  # second copy within doc 1 is a dup
+    assert out[2] == (2, 1)  # doc 2's "a b c" lost to doc 1's chunk 0

@@ -157,3 +157,41 @@ def test_compaction_single_shuffle(spark, journal_path):
     salted = _plan(salted_last_event_per_key(j, salt_buckets=4))
     assert n_exchanges(plain) == 1
     assert n_exchanges(salted) == 2
+
+def test_contamination_broadcasts_benchmark(spark):
+    """doc_decontaminate must broadcast the benchmark shingle set —
+    the corpus side is never shuffled for the join (at 100 TB the
+    benchmark is the only small side)."""
+    from debezium_connector_ibmi_spark.queries.corpusops import (
+        doc_decontaminate,
+    )
+
+    plan = _plan(doc_decontaminate(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, "benchmark join not broadcast"
+
+
+def test_hash_sample_is_map_only(spark):
+    """doc_sample_stratified is a deterministic filter projection —
+    no exchange anywhere in the plan."""
+    from debezium_connector_ibmi_spark.queries.corpusops import (
+        doc_sample_stratified,
+    )
+
+    plan = _plan(doc_sample_stratified(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # whole-stage codegen span
+    # column pruning: only the two needed columns reach the scan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_chunk_dedup_no_window(spark):
+    """doc_chunk_dedup keeps the skew-proof agg shape: min-struct
+    keeper via hash aggregation, never a Window over the chunk
+    stream."""
+    from debezium_connector_ibmi_spark.queries.corpusops import (
+        doc_chunk_dedup,
+    )
+
+    plan = _plan(doc_chunk_dedup(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan
+    assert "partial_min" in plan, "map-side partial keeper agg missing"
