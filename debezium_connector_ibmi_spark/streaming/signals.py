@@ -125,6 +125,38 @@ class SignalProcessor:
                 )
                 continue
             pages = self.pages_provider(my_table)
+            if data.get("type") == "incremental":
+                # Debezium's execute-snapshot defaults to an
+                # incremental (chunked, stream-concurrent) snapshot:
+                # run the DBLog chunk sequence under a per-signal
+                # writer fence, so a crash mid-signal resumes at the
+                # first incomplete chunk on re-poll (the signal stays
+                # pending until all chunks committed), and a replayed
+                # signal skips entirely.
+                from debezium_connector_ibmi_spark.sources.incremental import (
+                    IncrementalSnapshotter,
+                )
+
+                snap = IncrementalSnapshotter(
+                    self.spark,
+                    self.cfg,
+                    pages,
+                    n_chunks=int(data.get("chunks", 8)),
+                    target=self.target,
+                    writer_id=f"incsnap-{int(sig['signal_id'])}",
+                )
+                chunk_stats = snap.run_all()
+                self.target.record_writer_progress(
+                    SIGNAL_WRITER_ID, int(sig["signal_id"])
+                )
+                out.append(
+                    {
+                        "signal_id": sig["signal_id"],
+                        "incremental": True,
+                        "chunks_run": len(chunk_stats),
+                    }
+                )
+                continue
             batch = snapshot_state(pages).withColumn("op", F.lit("c"))
             stats = self.target.merge(
                 batch,
