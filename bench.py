@@ -50,6 +50,11 @@ HEADLINE = [
     # candidates); the all-pairs doc_ngram_jaccard_pairs is oracle-
     # mode only and intentionally NOT benchmarked
     "doc_near_dup_verified",
+    # corpus pipeline ops (round 3)
+    "doc_chunk_dedup",
+    "doc_decontaminate",
+    "doc_sample_stratified",
+    "doc_dup_clusters",
     "emb_knn_brute_force",
     "emb_ann_lsh_bucket",
     "emb_ivf_topk",

@@ -34,18 +34,26 @@ def connected_components(
     component = min node id in the connected component. Raises if the
     graph needs more than ``max_iterations`` rounds (a dedup graph
     never should — that signals the input is not a dedup graph)."""
+    # localCheckpoint (not persist): each round must TRUNCATE the
+    # logical plan, not just cache data — with persist the plan still
+    # doubles per round (the cached subtree is re-analyzed inside the
+    # next join), and a high-diameter graph OOMs the driver on plan
+    # bookkeeping long before any data is large. Trade-off: local
+    # checkpoints are not fault-tolerant across executor loss; for a
+    # long multi-round production run, set a reliable checkpoint dir
+    # and swap in DataFrame.checkpoint.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
-    labels.count()  # materialize before the loop
     for _ in range(max_iterations):
         neigh_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -61,10 +69,9 @@ def connected_components(
                 ).alias("comp"),
                 (F.col("neigh_comp") < F.col("comp")).alias("__changed"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = new_labels.filter(F.col("__changed")).count()
-        labels.unpersist()
         labels = new_labels.drop("__changed")
         if changed == 0:
             return labels
