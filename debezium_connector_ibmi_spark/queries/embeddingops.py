@@ -347,6 +347,43 @@ def emb_ivf_kmeans_recall(spark, sf_dir):
     )
 
 
+# --- int8 scalar quantization (embedding compression) --------------------
+def emb_scalar_quantize(spark, sf_dir):
+    """Per-dimension affine int8 quantization — the compression step
+    a 100 TB embedding store runs before ANN (4x smaller than float32,
+    decoded on the fly). code = round((v - min_d) * 255 / (max_d -
+    min_d)) - 128 per dimension d; constant dimensions map to -128.
+
+    Scale shape: the per-dimension stats aggregate is 64 rows —
+    broadcast back onto the (map-only) posexplode of the vectors, so
+    the corpus is scanned once and never shuffled. All arithmetic is
+    IEEE-double with identical operation order on both engines, and
+    the output is integer codes, so the value-hash cannot drift.
+    """
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.posexplode("embedding").alias("dim_idx0", "v")
+    ).select(
+        "vec_id",
+        (F.col("dim_idx0") + 1).alias("dim_idx"),
+        F.col("v").cast("double").alias("v"),
+    )
+    stats = e.groupBy("dim_idx").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    code = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0.0))
+        .otherwise(
+            F.round((F.col("v") - F.col("mn")) * 255 / (F.col("mx") - F.col("mn")))
+        )
+        .cast("long")
+        - 128
+    )
+    return e.join(F.broadcast(stats), "dim_idx").select(
+        "vec_id", F.col("dim_idx").cast("int").alias("dim_idx"),
+        code.alias("code"),
+    )
+
+
 QUERIES = {
     "emb_knn_brute_force": emb_knn_brute_force,
     "emb_ann_lsh_bucket": emb_ann_lsh_bucket,
@@ -354,6 +391,7 @@ QUERIES = {
     "emb_ivf_topk": emb_ivf_topk,
     "emb_ivf_topk_nprobe2": emb_ivf_topk_nprobe2,
     "emb_ivf_kmeans_recall": emb_ivf_kmeans_recall,
+    "emb_scalar_quantize": emb_scalar_quantize,
 }
 
 ORACLES = {
@@ -458,3 +496,19 @@ ORACLES = {
         ) WHERE rank <= 3
     """,
 }
+
+ORACLES["emb_scalar_quantize"] = """
+    WITH e AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS INT) AS dim_idx,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), s AS (
+        SELECT dim_idx, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1
+    )
+    SELECT e.vec_id, e.dim_idx,
+           CAST(CASE WHEN s.mx = s.mn THEN 0.0
+                ELSE round((e.v - s.mn) * 255 / (s.mx - s.mn))
+                END AS BIGINT) - 128 AS code
+    FROM e JOIN s USING (dim_idx)
+"""

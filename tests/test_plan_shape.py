@@ -195,3 +195,16 @@ def test_chunk_dedup_no_window(spark):
     plan = _plan(doc_chunk_dedup(spark, "/root/testdata/sf0.001"))
     assert "Window" not in plan
     assert "partial_min" in plan, "map-side partial keeper agg missing"
+
+
+def test_scalar_quantize_broadcasts_stats(spark):
+    """emb_scalar_quantize joins the 64-row per-dimension stats back
+    onto the exploded vectors via broadcast — the corpus side is
+    never shuffled for the join."""
+    from debezium_connector_ibmi_spark.queries.embeddingops import (
+        emb_scalar_quantize,
+    )
+
+    plan = _plan(emb_scalar_quantize(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min" in plan  # map-side partial stats agg
