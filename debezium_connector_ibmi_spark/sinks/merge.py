@@ -50,6 +50,16 @@ class KeyBucketedTarget:
         self.num_buckets = num_buckets
         self.delete_mode = delete_mode
         os.makedirs(f"{self.path}/_commits", exist_ok=True)
+        # bucket count is a property of the DATA, not the caller: a
+        # target with history adopts its committed count (the
+        # constructor arg only sizes fresh targets). Without this, a
+        # mismatched caller computes touched-bucket sets under one
+        # modulus against files laid out under another — reads miss
+        # rows silently. Older commits predate the field; they keep
+        # the constructor value (all writers used the same default).
+        c = self.last_commit()
+        if c is not None and "num_buckets" in c:
+            self.num_buckets = int(c["num_buckets"])
 
     # ---- commit bookkeeping -----------------------------------------
 
@@ -437,6 +447,48 @@ class KeyBucketedTarget:
             "buckets": len(written),
         }
 
+    def rescale_buckets(self, new_num_buckets: int) -> dict:
+        """Online bucket-count evolution (Iceberg's
+        ``bucket(N, key)`` partition-spec evolution analogue, done as
+        a full rewrite since this sink has no multi-spec planning):
+        rewrite the current state under the new modulus in ONE new
+        version, stamp ``num_buckets`` in the commit, and let every
+        future constructor/merge adopt it. Fences, watermarks and
+        schema metadata carry forward untouched; crash-safe like
+        every write (the ``_latest`` flip is last). Use when a target
+        outgrows its bucket count (bucket files >> maxPartitionBytes)
+        — the copy-on-write merge cost scales with bucket size, not
+        table size, so keeping buckets right-sized is what keeps
+        merge latency flat as the table grows."""
+        assert new_num_buckets >= 1
+        last = self.last_commit()
+        if last is None:
+            self.num_buckets = new_num_buckets
+            return {"rescaled": False, "reason": "empty target"}
+        if int(last.get("num_buckets", self.num_buckets)) == new_num_buckets:
+            return {"rescaled": False, "reason": "already at size"}
+        old_num = self.num_buckets
+        state = self.read().drop("bucket")
+        self.num_buckets = new_num_buckets
+        version = self._latest_version() + 1
+        written = self._write_buckets(state, version)
+        commit = {
+            **last,
+            "version": version,
+            "buckets": {str(b): version for b in written},
+            "partitions": [],  # lineage rows belong to merge commits only
+            "ts": time.time(),
+            "kind": "rescale",
+            "num_buckets": new_num_buckets,
+        }
+        self._write_commit(commit)
+        return {
+            "rescaled": True,
+            "from_buckets": old_num,
+            "to_buckets": new_num_buckets,
+            "version": version,
+        }
+
     def changes_between(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:
@@ -572,6 +624,7 @@ class KeyBucketedTarget:
                 "ts": time.time(),
                 "kind": "snapshot",
                 "schema_version": -1,
+                "num_buckets": self.num_buckets,
             }
         )
 
@@ -722,6 +775,7 @@ class KeyBucketedTarget:
             "kind": "merge",
             "schema_version": (last or {}).get("schema_version", -1),
             "schema": decl,
+            "num_buckets": self.num_buckets,
         }
         if writer_id is not None:
             commit["writer_id"] = writer_id

@@ -103,6 +103,10 @@ def main(argv=None):
     cp.add_argument("--buckets", type=int, default=32)
     cp.add_argument("--min-versions", type=int, default=2)
 
+    rs = sub.add_parser("rescale")  # bucket partition-spec evolution
+    rs.add_argument("--target", required=True)
+    rs.add_argument("--to-buckets", type=int, required=True)
+
     args = p.parse_args(argv)
 
     from debezium_connector_ibmi_spark.session import get_spark
@@ -151,6 +155,13 @@ def main(argv=None):
 
         t = KeyBucketedTarget(spark, args.target, num_buckets=args.buckets)
         print(json.dumps(t.compact(min_versions=args.min_versions)))
+        return 0
+
+    if args.cmd == "rescale":
+        from debezium_connector_ibmi_spark.sinks.merge import KeyBucketedTarget
+
+        t = KeyBucketedTarget(spark, args.target)  # adopts committed count
+        print(json.dumps(t.rescale_buckets(args.to_buckets)))
         return 0
 
     if args.cmd == "signal":
