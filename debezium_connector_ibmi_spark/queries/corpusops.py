@@ -118,12 +118,67 @@ def doc_chunk_dedup(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------ split assign
+
+_SPLIT_SALT = "split"
+
+
+def doc_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split assignment (80/10/10 by
+    md5 bucket of doc_id) — stable across engines, runs and
+    repartitioning, so the same document can never leak between
+    splits on a re-run. Map-only."""
+    b = co.hash_bucket(F.col("doc_id"), 100, _SPLIT_SALT)
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", b.cast("long").alias("bucket"), split.alias("split")
+    )
+
+
+# ------------------------------------------------- repetition ratio
+
+def doc_repetition_ratio(spark, sf_dir):
+    """Within-document repetition (the Gopher/MassiveText duplicate
+    n-gram quality rule): fraction of repeated 3-gram shingles per
+    doc, reported integer-exact in permille. Docs shorter than 3
+    tokens have no shingles and are excluded (same domain as the
+    minhash queries). Map-only codegen: shingle array built per row,
+    counts via size/array_distinct — no explode, no shuffle."""
+    from debezium_connector_ibmi_spark.operators.text_analysis import (
+        shingles,
+        words_col,
+    )
+
+    d = _docs(spark, sf_dir).filter(F.size(words_col()) >= 3)
+    sh = shingles(n=3)
+    n = F.size(sh)
+    nd = F.size(F.array_distinct(sh))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_shingles"),
+        nd.cast("long").alias("n_distinct_shingles"),
+        # integer div, exactly mirroring the oracle's `//` — no float
+        # ever enters the result
+        ((n - nd).cast("long") * 1000)
+        .alias("__num")
+        .cast("long"),
+    ).withColumn(
+        "rep_permille", F.expr("__num div n_shingles")
+    ).drop("__num")
+
+
 QUERIES = {
     "doc_pii_scrub": doc_pii_scrub,
     "doc_decontaminate": doc_decontaminate,
     "doc_sample_stratified": doc_sample_stratified,
     "doc_length_histogram": doc_length_histogram,
     "doc_chunk_dedup": doc_chunk_dedup,
+    "doc_split_assign": doc_split_assign,
+    "doc_repetition_ratio": doc_repetition_ratio,
 }
 
 
@@ -232,3 +287,41 @@ ORACLES = {
         GROUP BY doc_id
     """,
 }
+
+ORACLES["doc_split_assign"] = f"""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               CAST(CAST('0x' || substring(
+                   md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)),
+                   1, 6) AS INT) % 100 AS BIGINT) AS bucket
+        FROM documents
+    )
+"""
+ORACLES["doc_repetition_ratio"] = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ), pos AS (
+        SELECT doc_id, unnest(words) AS word,
+               generate_subscripts(words, 1) AS p
+        FROM w
+    ), sh0 AS (
+        SELECT doc_id,
+               word || ' ' || lead(word, 1) OVER win || ' ' ||
+               lead(word, 2) OVER win AS shingle,
+               p, count(*) OVER (PARTITION BY doc_id) AS n_words
+        FROM pos
+        WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+        QUALIFY p <= n_words - 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct_shingles,
+           CAST((count(*) - count(DISTINCT shingle)) * 1000
+                // count(*) AS BIGINT) AS rep_permille
+    FROM sh0 GROUP BY doc_id
+"""

@@ -91,3 +91,17 @@ def test_fence_stamp_ordering_is_merge_then_fence():
 
     src = inspect.getsource(IcebergTarget.merge)
     assert src.index("merge_sql(") < src.index("set_fence_sql(")
+
+def test_rescale_bucket_sql_pinned():
+    """Bucket-spec evolution parity with KeyBucketedTarget.rescale_
+    buckets: REPLACE PARTITION FIELD + a full rewrite_data_files so
+    bucket-pruned MERGE scans stay tight on old data."""
+    from debezium_connector_ibmi_spark.sinks.iceberg import rescale_bucket_sql
+
+    stmts = rescale_bucket_sql("cat.db.state", "url", 512, 1024)
+    assert stmts == [
+        "ALTER TABLE cat.db.state REPLACE PARTITION FIELD "
+        "bucket(512, url) WITH bucket(1024, url)",
+        "CALL system.rewrite_data_files(table => 'cat.db.state', "
+        "options => map('rewrite-all', 'true'))",
+    ]
