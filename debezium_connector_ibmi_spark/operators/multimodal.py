@@ -34,6 +34,10 @@ IMAGE_META_SCHEMA = (
 )
 AUDIO_META_SCHEMA = "media_id long, sample_rate int, n_samples long, rms_x1000 long"
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_phash string"
+RESIZE_SCHEMA = (
+    "media_id long, width int, height int, out_width int, "
+    "out_height int, out_n_bytes long, resized_phash string"
+)
 
 STRICT = False  # True -> raise instead of deterministic fake
 
@@ -143,4 +147,48 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
     return media.filter(F.col("kind") == "video").mapInPandas(
         op, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+def resize_images(media: DataFrame, max_dim: int = 512) -> DataFrame:
+    """Aspect-preserving bounded resize (integer arithmetic, never
+    upscales) — the thumbnail/normalization step of an image pipeline.
+    Real plumbing, STUB codec like the rest of this module: input
+    dims come from the (env-gated fake) decode, the output "pixels"
+    are stood in by out_n_bytes = out_w*out_h*3 and a digest of
+    (payload, out dims); swapping in PIL changes only the decode and
+    the emitted bytes, not the Spark shape."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        out_cols = (
+            "media_id", "width", "height", "out_width", "out_height",
+            "out_n_bytes", "resized_phash",
+        )
+        for pdf in batches:
+            out = {c: [] for c in out_cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _ = _decode_image_bytes(payload)
+                m = max(w, h)
+                if m <= max_dim:
+                    ow, oh = w, h
+                else:
+                    ow = max(1, w * max_dim // m)
+                    oh = max(1, h * max_dim // m)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["out_n_bytes"].append(ow * oh * 3)
+                out["resized_phash"].append(
+                    hashlib.md5(
+                        payload + f":{ow}x{oh}".encode()
+                    ).hexdigest()[:8]
+                )
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        op, schema=RESIZE_SCHEMA
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from debezium_connector_ibmi_spark.operators.multimodal import (
     audio_features,
     image_metadata,
+    resize_images,
     sample_frames,
 )
 
@@ -38,6 +39,12 @@ def mm_audio_features(spark, sf_dir):
     return audio_features(_media(spark, sf_dir, "audio"))
 
 
+def mm_image_resize(spark, sf_dir):
+    """Bounded aspect-preserving resize (max_dim=512), integer
+    arithmetic end-to-end."""
+    return resize_images(_media(spark, sf_dir, "image"), max_dim=512)
+
+
 def mm_frame_sample(spark, sf_dir):
     """1-to-N frame sampling (every_n=1: one row per fake frame)."""
     return sample_frames(_media(spark, sf_dir, "video"), every_n=1)
@@ -47,6 +54,7 @@ QUERIES = {
     "mm_image_meta": mm_image_meta,
     "mm_audio_features": mm_audio_features,
     "mm_frame_sample": mm_frame_sample,
+    "mm_image_resize": mm_image_resize,
 }
 
 # hex -> int: CAST('0x'||h AS INT); text payload is ASCII in the
@@ -86,3 +94,28 @@ ORACLES = {
         FROM x
     """,
 }
+
+ORACLES["mm_image_resize"] = """
+    WITH d AS (
+        SELECT doc_id, text,
+               CAST(CAST('0x' || substring(md5(text), 1, 4) AS INT)
+                    % 1920 + 1 AS INT) AS w,
+               CAST(CAST('0x' || substring(md5(text), 5, 4) AS INT)
+                    % 1080 + 1 AS INT) AS h
+        FROM documents
+    ), r AS (
+        SELECT doc_id, text, w, h,
+               CASE WHEN greatest(w, h) <= 512 THEN w
+                    ELSE greatest(1, w * 512 // greatest(w, h)) END AS ow,
+               CASE WHEN greatest(w, h) <= 512 THEN h
+                    ELSE greatest(1, h * 512 // greatest(w, h)) END AS oh
+        FROM d
+    )
+    SELECT doc_id AS media_id,
+           w AS width, h AS height,
+           CAST(ow AS INT) AS out_width, CAST(oh AS INT) AS out_height,
+           CAST(ow * oh * 3 AS BIGINT) AS out_n_bytes,
+           substring(md5(text || ':' || CAST(ow AS VARCHAR) || 'x'
+               || CAST(oh AS VARCHAR)), 1, 8) AS resized_phash
+    FROM r
+"""

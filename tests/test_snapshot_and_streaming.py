@@ -214,3 +214,32 @@ def test_multimodal_plumbing(spark):
     frames = sample_frames(media, every_n=2).collect()
     assert len(frames) > 1  # 1-to-N expansion works
     assert all(r["media_id"] == 3 for r in frames)
+
+def test_multimodal_resize_invariants(spark):
+    """resize_images: never upscales, bounds the long side at
+    max_dim, preserves aspect within integer rounding, and is
+    deterministic across runs."""
+    from debezium_connector_ibmi_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    rows = [
+        (i, "image", f"imgbytes-{i}".encode() * (i + 1), "image/png", None)
+        for i in range(20)
+    ] + [(99, "audio", b"notimage", "audio/wav", None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(media, max_dim=256).collect()
+    assert {r["media_id"] for r in out} == set(range(20))  # audio filtered
+    for r in out:
+        assert max(r["out_width"], r["out_height"]) <= 256
+        assert r["out_width"] <= r["width"] and r["out_height"] <= r["height"]
+        if max(r["width"], r["height"]) <= 256:  # small images untouched
+            assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
+        else:  # aspect preserved within integer floor rounding
+            assert abs(
+                r["out_width"] * r["height"] - r["out_height"] * r["width"]
+            ) <= max(r["width"], r["height"])
+        assert r["out_n_bytes"] == r["out_width"] * r["out_height"] * 3
+    out2 = resize_images(media, max_dim=256).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
