@@ -257,6 +257,29 @@ def cdc_changelog_materialize(spark, sf_dir):
     )
 
 
+def cdc_state_dedup(spark, sf_dir):
+    """Composition of the engine's two halves: CDC materialization
+    feeds the corpus dedup operator. Materialize last state per key
+    (the changelog fold), fingerprint each live row's payload
+    (``props``), and group identical states — exactly how a CDC-fed
+    corpus table is deduplicated before training-sample emission.
+    Plan: the same max_by compaction as the flagship, then one
+    hash-shuffle on the fingerprint (map-side partial count/min)."""
+    from debezium_connector_ibmi_spark.operators.text_analysis import (
+        fingerprint,
+    )
+
+    df = _events(spark, sf_dir).withColumn("op", _op())
+    last = last_event_per_key_agg(df, key="user_id", order_cols=("event_id",))
+    live = last.filter(F.col("op") != "d").select(
+        "user_id", fingerprint(F.col("props")).alias("fp")
+    )
+    return live.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min("user_id").alias("keeper_user_id"),
+    )
+
+
 QUERIES = {
     "cdc_filter_include": cdc_filter_include,
     "cdc_op_type_map": cdc_op_type_map,
@@ -272,6 +295,7 @@ QUERIES = {
     "cdc_snapshot_handover": cdc_snapshot_handover,
     "cdc_quarantine_rows": cdc_quarantine_rows,
     "cdc_changelog_materialize": cdc_changelog_materialize,
+    "cdc_state_dedup": cdc_state_dedup,
 }
 
 ORACLES = {
@@ -347,3 +371,18 @@ ORACLES = {
         ) WHERE rn = 1 AND op <> 'd'
     """,
 }
+
+ORACLES["cdc_state_dedup"] = f"""
+    WITH state AS (
+        SELECT user_id, props FROM (
+            SELECT user_id, props, {_OP_SQL} AS op,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1 AND op <> 'd'
+    )
+    SELECT md5(props) AS fp,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           min(user_id) AS keeper_user_id
+    FROM state GROUP BY 1
+"""
