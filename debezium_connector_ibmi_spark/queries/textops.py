@@ -134,13 +134,15 @@ def _dup_edges(spark, sf_dir):
     star edges (min-id -> other ids per identical fingerprint, same
     components as all-pairs at linear edge count) UNION the verified
     near-dup pairs (banded LSH -> exact Jaccard)."""
-    from pyspark.sql import Window
-
     docs = _docs(spark, sf_dir)
     fp = docs.select("doc_id", ta.fingerprint().alias("fp"))
-    w = Window.partitionBy("fp")
+    # min-per-fp via hash agg (map-side partial) + equi-join — NOT a
+    # Window over fp partitions: a boilerplate text owning 5% of the
+    # corpus would serialize that partition's sort, while the agg
+    # stays flat (see BASELINE.md corpus skew stress)
+    mins = fp.groupBy("fp").agg(F.min("doc_id").alias("m"))
     star = (
-        fp.withColumn("m", F.min("doc_id").over(w))
+        fp.join(mins, "fp")
         .filter(F.col("doc_id") != F.col("m"))
         .select(F.col("m").alias("id_a"), F.col("doc_id").alias("id_b"))
     )
