@@ -61,6 +61,49 @@ HEADLINE = [
 ]
 
 
+# Round-4 (VERDICT r3 #6): the sf0.1 doc-query times (0.3-5.6s) sit
+# inside the ±30% host-noise band, hiding regressions. The top-5 most
+# expensive document operators re-run against a deterministic
+# 10x-documents corpus (50k docs) where their wall times are signal.
+# The 10x corpus keeps the near-dup STRUCTURE of sf0.1 (each copy
+# re-words every token with a copy-specific salt, so near-dup pairs
+# replicate per copy instead of exploding cross-copy) — pair counts
+# and agg cardinalities scale linearly, the honest 10x shape.
+HEADLINE_10X = [
+    "doc_minhash_signature",
+    "doc_lsh_near_dup_pairs",
+    "doc_near_dup_verified",
+    "doc_dup_clusters",
+    "doc_chunk_dedup",
+]
+
+
+def synth_docs_10x(spark, sf_dir: str, out_dir: str) -> str:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    copies = []
+    for i in range(10):
+        c = docs.withColumn("doc_id", F.col("doc_id") * 10 + F.lit(i))
+        if i:
+            c = c.withColumn(
+                "text",
+                F.expr(
+                    "array_join(transform(split(text, ' '), w -> "
+                    f"substring(md5(concat(w, '#{i}')), 1, "
+                    "greatest(length(w), 1))), ' ')"
+                ),
+            )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(CPUS).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    return out_dir
+
+
 def F_sum_warmup():
     from pyspark.sql import functions as F
 
@@ -92,6 +135,23 @@ def main():
         n = df.count()  # materialize the full result
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    # --- 10x-documents block (separate timings: NOT in `value`, so
+    # the headline total stays protocol-comparable across rounds) ----
+    work10 = tempfile.mkdtemp(prefix="ibmi_bench_10x_")
+    timings_10x: dict[str, float] = {}
+    try:
+        synth_docs_10x(spark, SF_DIR, work10)
+        for name in HEADLINE_10X:
+            t0 = time.time()
+            n = qs[name](spark, work10).count()
+            timings_10x[name] = round(time.time() - t0, 3)
+            print(
+                f"# 10x/{name}: {timings_10x[name]}s ({n} rows)",
+                file=sys.stderr,
+            )
+    finally:
+        shutil.rmtree(work10, ignore_errors=True)
 
     # --- end-to-end CDC apply (the north-rule metric) -------------------
     work = tempfile.mkdtemp(prefix="ibmi_bench_")
@@ -173,13 +233,19 @@ def main():
                 "cdc_events_per_sec": events_per_sec,
                 "cdc_events_per_sec_binary": bin_eps,
                 "cpus": CPUS,
+                # 10x-documents block (round 4+): separate keys so the
+                # headline `value` stays protocol-v2-comparable
+                "queries_10x": timings_10x,
+                "total_10x_sec": round(sum(timings_10x.values()), 3),
+                "docs_10x": 10,
                 # canonical protocol stamp: rounds are comparable IFF
                 # these match (r1 ran 1M ops — see BASELINE.md; r2+
                 # pin 4M). The 2->8-core scaling run is the separate
                 # pinned 16M protocol (scripts/bench_scaling.py),
                 # recorded per round in BASELINE.md.
                 "bench_ops": BENCH_OPS,
-                "protocol": "v2: headline sf0.1 + 4M-op apply, local[32]",
+                "protocol": "v2: headline sf0.1 + 4M-op apply, local[32]"
+                " + 10x-docs top-5 block",
             }
         )
     )

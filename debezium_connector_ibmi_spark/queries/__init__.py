@@ -19,9 +19,15 @@ from debezium_connector_ibmi_spark.queries import (
     textops,
 )
 
+# Order matters: the driver's correctness harness verifies at most 50
+# queries per round in registry-iteration order. Modules whose queries
+# are new or changed this round go FIRST so every one of them gets a
+# driver-verified row; the tail (relational beyond its first entry,
+# embeddingops, misc_ops) rotates out only when unchanged AND already
+# green in a retained CORRECTNESS_r* file.
 _MODULES = (
-    cdc, relational, textops, embeddingops, misc_ops, parity_ops,
-    multimodalops, corpusops,
+    corpusops, multimodalops, textops, parity_ops, cdc, relational,
+    embeddingops, misc_ops,
 )
 
 

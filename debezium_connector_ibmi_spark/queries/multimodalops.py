@@ -1,17 +1,19 @@
-"""Driver-gate queries for the multimodal plumbing
-(operators/multimodal.py): the REAL Arrow-batched mapInPandas
-operators run over a media table derived from ``documents`` (payload =
-utf-8 bytes of text, a stand-in for image/audio bytes), and the
-deterministic codec fakes are reproduced exactly by DuckDB md5
-arithmetic — so the gate checks schemas, batch iteration, the 1-to-N
-frame shape, and the digest math, everything except the real codec
-(which is env-gated, see operators/multimodal.py docstring).
+"""Driver-gate queries for the multimodal operators
+(operators/multimodal.py) over REAL byte formats: each document's
+doc_id deterministically generates a spec-valid PNG / WAV payload
+(datagen/media.py, stdlib-only), the operators genuinely parse those
+bytes (IHDR decode, RIFF chunk walk, int16 sample decode), and the
+DuckDB oracle independently predicts what the parse must find from
+the same doc_id arithmetic — so a broken parser (wrong offset, wrong
+endianness, wrong chunk walk) hash-mismatches. Video remains the
+md5-fake stand-in modality (no container codec in this environment).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from debezium_connector_ibmi_spark.datagen.media import media_from_docs
 from debezium_connector_ibmi_spark.operators.multimodal import (
     audio_features,
     image_metadata,
@@ -20,34 +22,34 @@ from debezium_connector_ibmi_spark.operators.multimodal import (
 )
 
 
-def _media(spark, sf_dir, kind):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit(kind).alias("kind"),
-        F.col("text").cast("binary").alias("payload"),
-        F.lit(f"{kind}/fake").alias("mime"),
-        F.lit(None).cast("string").alias("source_url"),
-    )
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def mm_image_meta(spark, sf_dir):
-    return image_metadata(_media(spark, sf_dir, "image"))
+    """Real PNG IHDR parse of generated spec-valid PNGs."""
+    return image_metadata(media_from_docs(_docs(spark, sf_dir), "image"))
 
 
 def mm_audio_features(spark, sf_dir):
-    return audio_features(_media(spark, sf_dir, "audio"))
+    """Real RIFF/WAVE fmt+data chunk parse + int16 sample decode."""
+    return audio_features(media_from_docs(_docs(spark, sf_dir), "audio"))
 
 
 def mm_image_resize(spark, sf_dir):
-    """Bounded aspect-preserving resize (max_dim=512), integer
-    arithmetic end-to-end."""
-    return resize_images(_media(spark, sf_dir, "image"), max_dim=512)
+    """Bounded aspect-preserving resize from REAL parsed input dims
+    (max_dim=64 exercises both the passthrough and downscale arms)."""
+    return resize_images(
+        media_from_docs(_docs(spark, sf_dir), "image"), max_dim=64
+    )
 
 
 def mm_frame_sample(spark, sf_dir):
-    """1-to-N frame sampling (every_n=1: one row per fake frame)."""
-    return sample_frames(_media(spark, sf_dir, "video"), every_n=1)
+    """1-to-N frame sampling (every_n=1: one row per fake frame) over
+    the video stand-in payload (utf-8 text bytes)."""
+    return sample_frames(
+        media_from_docs(_docs(spark, sf_dir), "video"), every_n=1
+    )
 
 
 QUERIES = {
@@ -57,28 +59,45 @@ QUERIES = {
     "mm_image_resize": mm_image_resize,
 }
 
-# hex -> int: CAST('0x'||h AS INT); text payload is ASCII in the
-# synthetic corpus but octet_length(BLOB) is used anyway for byte
-# exactness
+# Oracle arithmetic mirrors datagen/media.py's closed forms:
+#   width  = doc_id % 120 + 8          (PNG, [8, 127])
+#   height = (doc_id*7) % 90 + 8       (PNG, [8, 97])
+#   n_bytes = 68 + h*(1 + 3w)          (stored-IDAT PNG size)
+#   rate   = 8000 * (1 + doc_id % 5)   (WAV)
+#   n      = doc_id % 500 + 50         (WAV samples)
+#   sample_i = (doc_id*31 + i*17) % 2003 - 1001
 ORACLES = {
     "mm_image_meta": """
         SELECT doc_id AS media_id,
-               CAST(CAST('0x' || substring(md5(text), 1, 4) AS INT)
-                    % 1920 + 1 AS INT) AS width,
-               CAST(CAST('0x' || substring(md5(text), 5, 4) AS INT)
-                    % 1080 + 1 AS INT) AS height,
-               CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
-               substring(md5(text), 9, 8) AS phash
+               CAST(doc_id % 120 + 8 AS INT) AS width,
+               CAST((doc_id * 7) % 90 + 8 AS INT) AS height,
+               CAST(8 AS INT) AS bit_depth,
+               CAST(2 AS INT) AS color_type,
+               CAST(68 + ((doc_id * 7) % 90 + 8)
+                    * (1 + 3 * (doc_id % 120 + 8)) AS INT) AS n_bytes
         FROM documents
     """,
     "mm_audio_features": """
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(8000 * (1 + doc_id % 5) AS INT) AS sample_rate,
+                   doc_id % 500 + 50 AS n
+            FROM documents
+        ), s AS (
+            SELECT doc_id, sample_rate, n,
+                   unnest(range(0, n)) AS i
+            FROM d
+        )
         SELECT doc_id AS media_id,
-               CAST(16000 AS INT) AS sample_rate,
-               CAST(octet_length(CAST(text AS BLOB)) // 2 AS BIGINT)
-                   AS n_samples,
-               CAST(CAST('0x' || substring(md5(text), 1, 4) AS INT)
-                    AS BIGINT) AS rms_x1000
-        FROM documents
+               sample_rate,
+               CAST(1 AS INT) AS n_channels,
+               CAST(16 AS INT) AS bits_per_sample,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n * 1000 // sample_rate AS BIGINT) AS duration_ms,
+               CAST(sum(abs((doc_id * 31 + i * 17) % 2003 - 1001))
+                    AS BIGINT) AS sum_abs_amplitude
+        FROM s
+        GROUP BY doc_id, sample_rate, n
     """,
     "mm_frame_sample": """
         WITH x AS (
@@ -93,29 +112,25 @@ ORACLES = {
                    AS frame_phash
         FROM x
     """,
+    "mm_image_resize": """
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(doc_id % 120 + 8 AS INT) AS w,
+                   CAST((doc_id * 7) % 90 + 8 AS INT) AS h
+            FROM documents
+        ), r AS (
+            SELECT doc_id, w, h,
+                   CASE WHEN greatest(w, h) <= 64 THEN w
+                        ELSE greatest(1, w * 64 // greatest(w, h)) END AS ow,
+                   CASE WHEN greatest(w, h) <= 64 THEN h
+                        ELSE greatest(1, h * 64 // greatest(w, h)) END AS oh
+            FROM d
+        )
+        SELECT doc_id AS media_id,
+               w AS width, h AS height,
+               CAST(ow AS INT) AS out_width,
+               CAST(oh AS INT) AS out_height,
+               CAST(68 + oh * (1 + 3 * ow) AS BIGINT) AS out_n_bytes
+        FROM r
+    """,
 }
-
-ORACLES["mm_image_resize"] = """
-    WITH d AS (
-        SELECT doc_id, text,
-               CAST(CAST('0x' || substring(md5(text), 1, 4) AS INT)
-                    % 1920 + 1 AS INT) AS w,
-               CAST(CAST('0x' || substring(md5(text), 5, 4) AS INT)
-                    % 1080 + 1 AS INT) AS h
-        FROM documents
-    ), r AS (
-        SELECT doc_id, text, w, h,
-               CASE WHEN greatest(w, h) <= 512 THEN w
-                    ELSE greatest(1, w * 512 // greatest(w, h)) END AS ow,
-               CASE WHEN greatest(w, h) <= 512 THEN h
-                    ELSE greatest(1, h * 512 // greatest(w, h)) END AS oh
-        FROM d
-    )
-    SELECT doc_id AS media_id,
-           w AS width, h AS height,
-           CAST(ow AS INT) AS out_width, CAST(oh AS INT) AS out_height,
-           CAST(ow * oh * 3 AS BIGINT) AS out_n_bytes,
-           substring(md5(text || ':' || CAST(ow AS VARCHAR) || 'x'
-               || CAST(oh AS VARCHAR)), 1, 8) AS resized_phash
-    FROM r
-"""

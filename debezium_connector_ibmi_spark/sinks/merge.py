@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -633,7 +634,7 @@ class KeyBucketedTarget:
         batch: DataFrame,
         batch_id: int,
         watermark: tuple[int, int] | None = None,
-        partitions: list[dict] | None = None,
+        partitions: list[dict] | Callable[[], list[dict]] | None = None,
         writer_id: str | None = None,
     ) -> dict:
         """Upsert a compacted batch (one row per key, with ``op``).
@@ -770,7 +771,14 @@ class KeyBucketedTarget:
             "buckets": bucket_map,
             "watermark": new_wm,
             "writer_watermarks": writer_wms,
-            "partitions": partitions or [],
+            # a callable defers lineage computation until after the
+            # write actions ran — the tailer passes an Observation-
+            # backed provider so per-receiver stats ride the merge's
+            # own jobs instead of a separate aggregation job
+            "partitions": (
+                partitions() if callable(partitions) else partitions
+            )
+            or [],
             "ts": time.time(),
             "kind": "merge",
             "schema_version": (last or {}).get("schema_version", -1),

@@ -71,7 +71,7 @@ class IncrementalSnapshotter:
         cfg: EngineConfig,
         pages: DataFrame,
         n_chunks: int = 8,
-        key_col: str = "url",
+        key_col: str | None = None,
         target: KeyBucketedTarget | None = None,
         writer_id: str = INCREMENTAL_WRITER_ID,
     ):
@@ -80,7 +80,9 @@ class IncrementalSnapshotter:
         self.cfg = cfg
         self.pages = pages
         self.n_chunks = n_chunks
-        self.key_col = key_col
+        # default to the sink's merge key: chunking/anti-joining on any
+        # other column than what the sink merges on would chunk wrong
+        self.key_col = key_col or cfg.key_column
         self.writer_id = writer_id
         self.target = target or KeyBucketedTarget(
             spark,
@@ -134,9 +136,20 @@ class IncrementalSnapshotter:
         if j is None:
             return None
         r, s = wm
+        # Only ROW events (journal_code R) of THIS pipeline's tables
+        # count as "applied": in a shared multi-table journal the
+        # watermark advances over other tables' entries too, and a key
+        # whose only in-range events belong to an excluded table was
+        # never merged — anti-joining it away would silently drop its
+        # snapshot row (same table discipline as
+        # operators.filters.apply_standard_filters).
         applied = j.filter(
-            (F.col("receiver_idx") < r)
-            | ((F.col("receiver_idx") == r) & (F.col("seq") <= s))
+            (
+                (F.col("receiver_idx") < r)
+                | ((F.col("receiver_idx") == r) & (F.col("seq") <= s))
+            )
+            & (F.col("journal_code") == "R")
+            & F.col("table_name").isin(*self.cfg.table_include_list)
         )
         return applied.select(
             F.col(self.cfg.key_column).alias(self.key_col)

@@ -47,6 +47,11 @@ from debezium_connector_ibmi_spark.sinks.merge import KeyBucketedTarget
 from debezium_connector_ibmi_spark.sources.journal_source import read_journal
 
 
+# above this many receivers in one planned range, per-receiver lineage
+# reverts from Observation conditional aggregates to its own job
+LINEAGE_OBSERVE_MAX_RECEIVERS = 64
+
+
 def _merge_columns() -> list[str]:
     return list(STATE_COLUMNS) + ["receiver_idx", "seq", "op"]
 
@@ -97,10 +102,16 @@ def apply_schema_changes_for_slice(
         base.append(["__deleted", "boolean"])
     target.declare_schema(base)
 
+    # Schema events carry 'TABLE@vN' — strip the version tag and keep
+    # only THIS pipeline's table(s). In a shared multi-table journal
+    # (MultiTableTailer fans one slice out to every table) table A's
+    # evolution event must not bump/transform table B's target.
+    base_table = F.regexp_replace(F.col("table_name"), r"@v\d+$", "")
     rows = (
         sliced.filter(
             (F.col("journal_code") == "D")
             & (F.col("entry_type").isin("CG", "CT"))
+            & base_table.isin(*cfg.table_include_list)
         )
         .select("receiver_idx", "seq", "table_name")
         .orderBy("receiver_idx", "seq")
@@ -168,6 +179,86 @@ class JournalTailer:
             self.target, self.cfg, self.evolution, sliced
         )
 
+    def _lineage_agg(self, sliced: DataFrame) -> list[dict]:
+        """Dedicated per-receiver lineage aggregation (one job)."""
+        return [
+            {
+                "receiver_idx": int(r["receiver_idx"]),
+                "seq": int(r["seq"]),
+                "events_applied": int(r["n"]),
+                "processed": True,
+            }
+            for r in sliced.groupBy("receiver_idx")
+            .agg(
+                F.max("seq").alias("seq"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        ]
+
+    def _observe_lineage(self, sliced: DataFrame, rng: PositionRange):
+        """Attach per-receiver lineage aggregates to the MERGE branch
+        of the slice as an Observation (rides the merge's own first
+        action — zero extra jobs), returning ``(observed_slice,
+        provider)``. Only prepare_batch consumes the observed plan:
+        side actions (schema-event collect, quarantine write) run on
+        the raw slice so an optimizer-collapsed side plan (e.g. a
+        statically-empty filter, where empty-relation propagation
+        deletes the CollectMetrics node and completes the observation
+        with a schemaless empty row) can never poison the metrics.
+        The provider still guards against that failure mode — and
+        against ranges spanning more than
+        ``LINEAGE_OBSERVE_MAX_RECEIVERS`` receivers — by falling back
+        to the dedicated aggregation job."""
+        receivers = list(
+            range(max(rng.start.receiver_idx, 0), rng.end.receiver_idx + 1)
+        )
+        cache: list[list[dict]] = []
+        if not receivers or len(receivers) > LINEAGE_OBSERVE_MAX_RECEIVERS:
+
+            def fallback():
+                if not cache:
+                    cache.append(self._lineage_agg(sliced))
+                return cache[0]
+
+            return sliced, fallback
+
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        aggs = []
+        for r in receivers:
+            is_r = F.col("receiver_idx") == r
+            aggs.append(F.max(F.when(is_r, F.col("seq"))).alias(f"s{r}"))
+            aggs.append(
+                F.sum(F.when(is_r, F.lit(1)).otherwise(F.lit(0))).alias(
+                    f"n{r}"
+                )
+            )
+
+        def provider():
+            if cache:
+                return cache[0]
+            try:
+                vals = obs.get
+                rows = [
+                    {
+                        "receiver_idx": r,
+                        "seq": int(vals[f"s{r}"]),
+                        "events_applied": int(vals[f"n{r}"]),
+                        "processed": True,
+                    }
+                    for r in receivers
+                    if vals.get(f"n{r}")
+                ]
+            except Exception:
+                # poisoned/absent metrics row: recompute honestly
+                rows = self._lineage_agg(sliced)
+            cache.append(rows)
+            return cache[0]
+
+        return sliced.observe(obs, *aggs), provider
+
     # -- one micro-batch ------------------------------------------------
 
     def process_range(
@@ -175,6 +266,15 @@ class JournalTailer:
     ) -> dict:
         t0 = time.time()
         sliced = journal.filter(rng.predicate())
+        # per-partition lineage/metrics WITHOUT a dedicated job: the
+        # range's receiver ids are known up front, so per-receiver
+        # max(seq)/count become conditional global aggregates on an
+        # Observation attached to the merge branch of the slice —
+        # Catalyst never pushes filters through CollectMetrics, so
+        # every sliced row is counted by the merge's first action.
+        # Side actions (schema collect, quarantine) run on the raw
+        # slice (see _observe_lineage).
+        sliced_obs, lineage = self._observe_lineage(sliced, rng)
         schema_versions = self._apply_schema_changes(sliced)
         n_quarantined = 0
         if self.cfg.quarantine_enabled:
@@ -207,27 +307,19 @@ class JournalTailer:
         # persist: the sink takes 2 actions over the batch (bucket
         # discovery + merge write); without this the whole decode
         # pipeline would re-execute per action
-        batch = prepare_batch(sliced, self.cfg).persist()
-        # per-partition lineage/metrics: high-watermark + events seen
-        part_rows = [
-            {
-                "receiver_idx": int(r["receiver_idx"]),
-                "seq": int(r["seq"]),
-                "events_applied": int(r["n"]),
-                "processed": True,
-            }
-            for r in sliced.groupBy("receiver_idx")
-            .agg(F.max("seq").alias("seq"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        ]
-        n_events = sum(p["events_applied"] for p in part_rows)
+        batch = prepare_batch(sliced_obs, self.cfg).persist()
         stats = self.target.merge(
             batch,
             batch_id=batch_id,
             watermark=(rng.end.receiver_idx, rng.end.seq),
-            partitions=part_rows,
+            partitions=lineage,  # callable: resolved after the write
         )
         batch.unpersist()
+        if stats.get("skipped"):
+            part_rows = []  # no action ran; the observation never fired
+        else:
+            part_rows = lineage()
+        n_events = sum(p["events_applied"] for p in part_rows)
         stats.update(
             {
                 "events": n_events,

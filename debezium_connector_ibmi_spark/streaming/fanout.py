@@ -34,12 +34,14 @@ from pyspark.sql import SparkSession
 
 from debezium_connector_ibmi_spark.config import EngineConfig
 from debezium_connector_ibmi_spark.plans.range_planner import (
+    InvalidPositionError,
     Position,
     PositionRange,
     plan_next_range,
     receiver_lineage,
     receiver_lineage_from_footers,
     usable_chain,
+    validate_position,
 )
 from debezium_connector_ibmi_spark.streaming.engine import JournalTailer
 
@@ -85,12 +87,51 @@ class MultiTableTailer:
             or receiver_lineage(journal)
         )
         out: list[dict] = []
+        # T6 triage per table (mirrors JournalTailer.run_to_head): a
+        # table whose committed watermark precedes the usable chain was
+        # truncated past its checkpoint — honor the policy instead of
+        # silently replaying from earliest.
+        for table, tl in self.tailers.items():
+            wm = tl.target.watermark()
+            if not validate_position(chain, Position(wm[0], wm[1], processed=True)):
+                if self.cfg.invalid_position_policy == "fail":
+                    raise InvalidPositionError(
+                        f"table {table}: resume position {wm} precedes "
+                        f"earliest available entry "
+                        f"({chain[0]['receiver_idx']},{chain[0]['min_seq']})"
+                        " — journal truncated"
+                    )
+                out.append(
+                    {
+                        "table": table,
+                        "skipped": False,
+                        "data_loss_reset": True,
+                        "from": wm,
+                        "to_earliest": (
+                            chain[0]["receiver_idx"],
+                            chain[0]["min_seq"],
+                        ),
+                    }
+                )
         while max_batches is None or len(out) < max_batches:
             wms = self.watermarks()
-            lo = min(wms.values())
+            # reset_earliest: an invalid watermark plans from the chain
+            # head (processed=False = inclusive) instead of its stale
+            # pre-truncation position
+            starts = []
+            for wm in wms.values():
+                p = Position(wm[0], wm[1], processed=True)
+                if not validate_position(chain, p):
+                    p = Position(
+                        chain[0]["receiver_idx"],
+                        chain[0]["min_seq"],
+                        processed=False,
+                    )
+                starts.append(p)
+            start = min(starts, key=lambda p: (p.receiver_idx, p.seq, p.processed))
             rng = plan_next_range(
                 chain,
-                Position(lo[0], lo[1], processed=True),
+                start,
                 self.cfg.max_entries_per_batch,
             )
             if rng is None:

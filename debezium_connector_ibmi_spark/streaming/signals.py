@@ -142,6 +142,10 @@ class SignalProcessor:
                     self.cfg,
                     pages,
                     n_chunks=int(data.get("chunks", 8)),
+                    # chunk/anti-join on the SINK's merge key — a
+                    # pipeline keyed on anything but 'url' must not
+                    # fall back to the old 'url' default
+                    key_col=self.cfg.key_column,
                     target=self.target,
                     writer_id=f"incsnap-{int(sig['signal_id'])}",
                 )

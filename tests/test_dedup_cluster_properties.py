@@ -71,3 +71,35 @@ def test_chain_converges_in_diameter_rounds(spark):
     assert set(comp.values()) == {0}
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iterations=2)
+
+
+def test_long_path_converges_via_pointer_jumping(spark):
+    """Round-4 (VERDICT #4): a 1000-node path graph — the worst case
+    for plain min-label propagation (999 rounds, previously raised at
+    25) — converges within the default bound thanks to the pointer-
+    jump rounds, and to the correct single component."""
+    n = 1000
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    comp = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert len(comp) == n
+    assert set(comp.values()) == {0}
+
+
+def test_high_diameter_random_graph_matches_union_find(spark):
+    """Chains + random chords: pointer jumping must stay correct (a
+    label is only ever replaced by a smaller node id from the same
+    component), verified against the union-find oracle."""
+    rng = random.Random(7)
+    n_nodes = 400
+    # four chains of 100, then a few chords merging some of them
+    edges = [
+        (base + i, base + i + 1)
+        for base in (0, 100, 200, 300)
+        for i in range(99)
+    ]
+    edges += [(rng.randrange(200), 200 + rng.randrange(200)) for _ in range(3)]
+    oracle = _uf_components(n_nodes, edges)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    comp = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert comp == oracle

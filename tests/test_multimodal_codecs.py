@@ -1,0 +1,121 @@
+"""Round-4: REAL stdlib PNG/WAV codecs (VERDICT r3 #2) — the
+generated payloads are spec-valid byte formats and the parsers
+actually decode them (offsets, endianness, chunk walking), with the
+md5 fake reserved for non-PNG/WAV payloads (video stand-in)."""
+
+from __future__ import annotations
+
+import struct
+
+from debezium_connector_ibmi_spark.datagen.media import (
+    png_dims,
+    png_payload,
+    png_payload_n_bytes,
+    wav_params,
+    wav_payload,
+    wav_samples,
+)
+from debezium_connector_ibmi_spark.operators.multimodal import (
+    _audio_meta,
+    _image_dims,
+    parse_png_header,
+    parse_wav_header,
+)
+
+
+def test_png_roundtrip_and_size_closed_form():
+    for doc_id in (0, 1, 7, 119, 120, 997, 123456):
+        b = png_payload(doc_id)
+        w, h = png_dims(doc_id)
+        assert parse_png_header(b) == (w, h, 8, 2)
+        assert len(b) == png_payload_n_bytes(doc_id) == 68 + h * (1 + 3 * w)
+        # spec-valid: signature, IHDR first, IEND last, CRCs correct
+        assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        assert b[-8:-4] == b"IEND"
+        import zlib
+
+        (ihdr_len,) = struct.unpack(">I", b[8:12])
+        crc = struct.unpack(">I", b[16 + ihdr_len : 20 + ihdr_len])[0]
+        assert crc == zlib.crc32(b[12 : 16 + ihdr_len])
+        # and the IDAT actually inflates to the raw scanlines
+        (idat_len,) = struct.unpack(">I", b[33:37])
+        raw = zlib.decompress(b[41 : 41 + idat_len])
+        assert len(raw) == h * (1 + 3 * w)
+
+
+def test_wav_roundtrip():
+    for doc_id in (0, 3, 42, 499, 500, 98765):
+        b = wav_payload(doc_id)
+        rate, n = wav_params(doc_id)
+        wav = parse_wav_header(b)
+        assert wav is not None
+        assert wav["sample_rate"] == rate
+        assert wav["n_channels"] == 1
+        assert wav["bits_per_sample"] == 16
+        assert wav["n_samples"] == n
+        assert len(b) == 44 + 2 * n
+        meta = _audio_meta(b)
+        assert meta[:4] == (rate, 1, 16, n)
+        assert meta[4] == n * 1000 // rate
+        assert meta[5] == sum(abs(s) for s in wav_samples(doc_id, n))
+
+
+def test_wav_chunk_walk_skips_extra_chunks():
+    """fmt/data need not be adjacent: a LIST chunk (odd size, so the
+    word-alignment padding matters) between them must be skipped."""
+    b = wav_payload(7)
+    rate, n = wav_params(7)
+    fmt_chunk = b[12:36]
+    data_chunk = b[36:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+    rebuilt = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(fmt_chunk) + len(extra) + len(data_chunk))
+        + b"WAVE"
+        + fmt_chunk
+        + extra
+        + data_chunk
+    )
+    wav = parse_wav_header(rebuilt)
+    assert wav and wav["sample_rate"] == rate and wav["n_samples"] == n
+
+
+def test_non_png_non_wav_fall_back_to_fake():
+    # truncated signature / wrong magic: parsers must refuse, decode
+    # falls back to the deterministic fake (marked bit_depth = -1)
+    assert parse_png_header(b"\x89PNGfakebytes" * 4) is None
+    assert parse_png_header(b"") is None
+    assert parse_wav_header(b"RIFFfake" * 50) is None  # no WAVE tag
+    assert parse_wav_header(b"RIFF\x00\x00\x00\x00WAVE") is None  # no fmt
+    w, h, bit_depth, color_type = _image_dims(b"not an image")
+    assert w > 0 and h > 0 and bit_depth == -1 and color_type == -1
+    meta = _audio_meta(b"not audio at all")
+    assert meta[0] == 16000 and meta[1] == -1  # fake marker
+
+
+def test_truncated_png_refused():
+    b = png_payload(5)
+    assert parse_png_header(b[:20]) is None  # mid-IHDR truncation
+    # corrupted chunk type at the IHDR slot
+    corrupt = b[:12] + b"XXXX" + b[16:]
+    assert parse_png_header(corrupt) is None
+
+
+def test_media_from_docs_payloads_are_real(spark):
+    from debezium_connector_ibmi_spark.datagen.media import media_from_docs
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 77, 300)], "doc_id long, text string"
+    )
+    img = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media_from_docs(docs, "image").collect()
+    }
+    for i, b in img.items():
+        assert parse_png_header(b) == (*png_dims(i), 8, 2)
+    aud = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media_from_docs(docs, "audio").collect()
+    }
+    for i, b in aud.items():
+        assert parse_wav_header(b)["n_samples"] == wav_params(i)[1]

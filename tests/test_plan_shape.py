@@ -208,3 +208,54 @@ def test_scalar_quantize_broadcasts_stats(spark):
     plan = _plan(emb_scalar_quantize(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan
     assert "partial_min" in plan  # map-side partial stats agg
+
+
+def test_lineage_rides_merge_jobs(spark, tmpdir_path):
+    """Round-4 (VERDICT r3 #5): per-receiver lineage is collected via
+    an Observation on the slice — one fewer Spark job per micro-batch
+    than the dedicated-aggregation fallback, with IDENTICAL lineage
+    rows (also proves Catalyst did not push the compaction filters
+    below the CollectMetrics node: counts cover the whole slice)."""
+    from debezium_connector_ibmi_spark import streaming
+    from debezium_connector_ibmi_spark.streaming.engine import JournalTailer
+
+    jdir = f"{tmpdir_path}/j"
+    write_journal(spark, GEN, jdir, num_files=2)
+
+    def run(target_path, group):
+        cfg = EngineConfig(
+            journal_path=jdir,
+            target_path=target_path,
+            num_buckets=4,
+            max_entries_per_batch=100_000,
+        )
+        tailer = JournalTailer(spark, cfg)
+        sc = spark.sparkContext
+        sc.setJobGroup(group, group)
+        try:
+            out = tailer.run_to_head()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        return out, len(jobs), tailer.target.lineage()
+
+    out_obs, jobs_obs, lin_obs = run(f"{tmpdir_path}/t_obs", "g-obs")
+    orig = streaming.engine.LINEAGE_OBSERVE_MAX_RECEIVERS
+    streaming.engine.LINEAGE_OBSERVE_MAX_RECEIVERS = 0  # force fallback
+    try:
+        out_fb, jobs_fb, lin_fb = run(f"{tmpdir_path}/t_fb", "g-fb")
+    finally:
+        streaming.engine.LINEAGE_OBSERVE_MAX_RECEIVERS = orig
+
+    n_batches = sum(1 for s in out_obs if "events" in s)
+    assert n_batches >= 1
+    # at least one job saved per batch (under AQE the dedicated
+    # aggregation costs two jobs: shuffle stage + result stage)
+    assert jobs_fb - jobs_obs >= n_batches
+    key = lambda rows: sorted(  # noqa: E731
+        (r["receiver_idx"], r["seq"], r["events_applied"]) for r in rows
+    )
+    assert key(lin_obs) == key(lin_fb)
+    assert sum(s.get("events", 0) for s in out_obs) == sum(
+        s.get("events", 0) for s in out_fb
+    )
