@@ -11,15 +11,21 @@ min of its own label and its neighbors' labels; converged when no
 label changes. Each round is one shuffle-join plus one aggregation on
 the EDGE relation (never materializing anything super-linear). For
 dedup graphs components are tiny (a duplicate cluster is a handful of
-docs) so this converges in 2-4 rounds; for pathological HIGH-DIAMETER
-graphs the loop adds Shiloach-Vishkin-style pointer jumping from
-round 3 on (each node also adopts its current label's label,
-``L(v) <- min(L(v), neigh mins, L(L(v)))`` — one extra self-join of
-the label table), which halves-then-doubles label reach per round and
-bounds convergence at O(log n) rounds instead of O(diameter): a
-1000-node path converges in ~12 rounds where plain propagation needs
-999. Convergence is checked with one count() action per round (a
-scalar, not a collect of data).
+docs) so this converges in 2-4 rounds. Pathological HIGH-DIAMETER
+graphs (paths, chord-merged chains — not dedup shapes, but the
+operator must not break on them) fall back after
+``propagation_rounds`` to alternating **large-star / small-star
+contraction** (Kiveris et al., "Connected Components in MapReduce and
+Beyond"): each pass rewrites the edge list so every node connects to
+the minimum of its neighborhood, provably converging to star graphs
+in O(log^2 n) passes on ANY graph — a 1000-node path needs ~13 passes
+where plain propagation needs 999. (A pointer-jumping variant was
+tried first and rejected: the label-table self-join re-enters the
+just-checkpointed plan twice and Spark's plan bookkeeping grows
+exponentially with rounds — star contraction keeps every pass a
+single dependency chain over one checkpointed edge relation.)
+Convergence is one scalar action per round (count / fingerprint agg),
+never a collect of data.
 """
 
 from __future__ import annotations
@@ -28,16 +34,92 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star: every node's strictly-larger neighbors connect to
+    the minimum of its closed neighborhood. ``sym`` must contain both
+    orientations of every edge."""
+    mins = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select("a", F.least("mb", "a").alias("m"))
+    )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: orient edges high->low; every node and its smaller
+    neighbors connect to the minimum of that down-neighborhood."""
+    d = (
+        e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    mins = d.groupBy("a").agg(F.min("b").alias("m"))
+    joined = d.join(mins, "a")
+    return (
+        joined.filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .union(mins.select(F.col("a"), F.col("m").alias("b")))
+        .distinct()
+    )
+
+
+def _star_contraction(sym: DataFrame, max_passes: int) -> DataFrame:
+    """Alternate large-star/small-star until the edge set is a fixed
+    point (a forest of stars (v, root)); returns (node, comp) labels.
+    Each pass is a single dependency chain over one checkpointed edge
+    relation — constant plan size per pass."""
+    e = sym.localCheckpoint()
+    prev_fp = None
+    for _ in range(max_passes):
+        ls = _large_star(
+            e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+        )
+        e = _small_star(ls).localCheckpoint()
+        # order-insensitive, overflow-free edge-set fingerprint
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+        fp = (int(row["n"]), int(row["h"]) if row["h"] is not None else 0)
+        if fp == prev_fp:
+            # stars: every edge is (node, component-root)
+            return (
+                e.select(F.col("a").alias("node"), F.col("b").alias("comp"))
+                .union(
+                    e.select(F.col("b").alias("node"), F.col("b").alias("comp"))
+                )
+                .distinct()
+            )
+        prev_fp = fp
+    raise RuntimeError(
+        f"connected_components did not converge: star contraction made "
+        f"{max_passes} passes without reaching a fixed point — needs "
+        "O(log^2 n); raise max_iterations for astronomically deep graphs"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    propagation_rounds: int = 8,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
-    component = min node id in the connected component. Raises if the
-    graph needs more than ``max_iterations`` rounds (a dedup graph
-    never should — that signals the input is not a dedup graph)."""
+    component = min node id in the connected component. Dedup-shaped
+    graphs converge on the min-label fast path in 2-4 rounds; a graph
+    still unconverged after ``propagation_rounds`` switches to
+    large-star/small-star contraction (O(log^2 n) passes on any
+    graph, bounded by ``max_iterations``)."""
     # localCheckpoint (not persist): each round must TRUNCATE the
     # logical plan, not just cache data — with persist the plan still
     # doubles per round (the cached subtree is re-analyzed inside the
@@ -58,53 +140,29 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
-    for it in range(max_iterations):
+    for _ in range(min(propagation_rounds, max_iterations)):
         neigh_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("comp").alias("neigh_comp"))
         )
-        cand = labels.join(
-            neigh_min, labels["node"] == neigh_min["a"], "left"
-        ).select(
-            "node",
-            "comp",
-            F.coalesce("neigh_comp", F.col("comp")).alias("neigh_comp"),
-        )
-        if it >= 2:
-            # pointer jump (high-diameter fallback): also adopt the
-            # current label's own label. A label is always a node id
-            # in the same component, so this preserves correctness
-            # while making label reach double per round — dedup-shaped
-            # graphs have converged before round 3 and never pay the
-            # extra self-join.
-            jump = labels.select(
-                F.col("node").alias("__c"), F.col("comp").alias("__cc")
-            )
-            cand = cand.join(
-                jump, cand["comp"] == jump["__c"], "left"
-            ).select(
+        new_labels = (
+            labels.join(neigh_min, labels["node"] == neigh_min["a"], "left")
+            .select(
                 "node",
-                "comp",
                 F.least(
-                    F.col("neigh_comp"),
-                    F.coalesce("__cc", F.col("comp")),
-                ).alias("neigh_comp"),
+                    F.col("comp"), F.coalesce("neigh_comp", F.col("comp"))
+                ).alias("comp"),
+                (F.col("neigh_comp") < F.col("comp")).alias("__changed"),
             )
-        new_labels = cand.select(
-            "node",
-            F.least(F.col("comp"), F.col("neigh_comp")).alias("comp"),
-            (F.col("neigh_comp") < F.col("comp")).alias("__changed"),
-        ).localCheckpoint()
+            .localCheckpoint()
+        )
         changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.drop("__changed")
         if changed == 0:
             return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iterations} rounds —"
-        " with pointer jumping this needs ~log2(n) rounds; raise "
-        "max_iterations only for graphs beyond ~2^20 nodes of diameter"
-    )
+    # high-diameter fallback: star contraction on the original edges
+    return _star_contraction(sym, max_passes=max_iterations)
 
 
 def cluster_assignments(

@@ -1,0 +1,140 @@
+"""Metrics/health export surface — the reference ships a
+``connector-health`` module and a JMX streaming-metrics bean
+(``metrics/As400StreamingChangeEventSourceMetrics.java:17-53``:
+TotalNumberOfEventsSeen, MilliSecondsBehindSource, processed-position
+gauges). This engine already records the same data (per-batch JSONL in
+``<target>/_metrics/batches.jsonl``, per-receiver lineage in the sink
+commit, the ``journal_lag`` table); this module serializes it to the
+Prometheus *text exposition format* so any scraper can ingest it.
+
+Export style is the node-exporter **textfile collector** pattern
+(write a ``.prom`` file atomically; a node exporter serves it) rather
+than an embedded HTTP server: on a Spark cluster the driver is the
+only stable process, and a scrape server inside a batch driver is an
+anti-pattern — the lakehouse-era analogue of the reference's JMX bean
+is a metrics file next to the checkpoint, owned by the same commit
+lifecycle.
+
+All values come from driver-side state (the JSONL log, the sink
+commit's lineage list, one tiny lag aggregation) — no extra cluster
+work beyond the ``journal_lag`` job when requested.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+# metric name -> (type, help) — names mirror the reference's JMX
+# attributes, snake_cased per Prometheus conventions
+_METRICS = {
+    "cdc_events_seen_total": (
+        "counter",
+        "TotalNumberOfEventsSeen: journal entries processed across "
+        "all committed batches",
+    ),
+    "cdc_batches_total": ("counter", "Committed micro-batches"),
+    "cdc_last_batch_events": ("gauge", "Entries in the last batch"),
+    "cdc_last_batch_seconds": ("gauge", "Wall seconds of the last batch"),
+    "cdc_last_events_per_second": (
+        "gauge",
+        "Throughput of the last batch (events/sec)",
+    ),
+    "cdc_watermark_receiver_idx": (
+        "gauge",
+        "Committed resume position: receiver index",
+    ),
+    "cdc_watermark_seq": (
+        "gauge",
+        "Committed resume position: sequence within receiver",
+    ),
+    "cdc_applied_seq": (
+        "gauge",
+        "Per-receiver applied high-watermark (lineage)",
+    ),
+    "cdc_journal_behind": (
+        "gauge",
+        "JournalBehind: journal head seq minus applied seq per receiver",
+    ),
+}
+
+
+def _fmt(name: str, value, labels: dict | None = None) -> str:
+    lbl = (
+        "{" + ",".join(f'{k}="{v}"' for k, v in sorted(labels.items())) + "}"
+        if labels
+        else ""
+    )
+    return f"{name}{lbl} {value}"
+
+
+def prometheus_lines(tailer, include_lag: bool = True) -> list[str]:
+    """Render the tailer's current metrics as Prometheus exposition
+    lines. ``include_lag=False`` skips the one Spark job the lag
+    gauges need (everything else is driver-local file/commit state).
+    """
+    out: list[str] = []
+    for name, (mtype, help_) in _METRICS.items():
+        out.append(f"# HELP {name} {help_}")
+        out.append(f"# TYPE {name} {mtype}")
+
+    path = f"{tailer.cfg.target_path.rstrip('/')}/_metrics/batches.jsonl"
+    total_events = n_batches = 0
+    last: dict = {}
+    try:
+        with open(path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                if rec.get("skipped"):
+                    continue
+                n_batches += 1
+                total_events += int(rec.get("events", 0))
+                last = rec
+    except FileNotFoundError:
+        pass
+    out.append(_fmt("cdc_events_seen_total", total_events))
+    out.append(_fmt("cdc_batches_total", n_batches))
+    if last:
+        out.append(_fmt("cdc_last_batch_events", int(last["events"])))
+        out.append(_fmt("cdc_last_batch_seconds", float(last["secs"])))
+        out.append(
+            _fmt("cdc_last_events_per_second", float(last["events_per_sec"]))
+        )
+
+    r, s = tailer.target.watermark()
+    out.append(_fmt("cdc_watermark_receiver_idx", r))
+    out.append(_fmt("cdc_watermark_seq", s))
+    for p in tailer.target.lineage():
+        out.append(
+            _fmt(
+                "cdc_applied_seq",
+                int(p["seq"]),
+                {"receiver_idx": int(p["receiver_idx"])},
+            )
+        )
+    if include_lag:
+        for row in tailer.lag_metrics().collect():
+            out.append(
+                _fmt(
+                    "cdc_journal_behind",
+                    int(row["behind"]),
+                    {"receiver_idx": int(row["receiver_idx"])},
+                )
+            )
+    return out
+
+
+def write_textfile(tailer, path: str | None = None, include_lag: bool = True) -> str:
+    """Atomically write the metrics file (write-then-rename, so a
+    concurrent scraper never reads a torn file). Default location:
+    ``<target>/_metrics/cdc.prom``."""
+    if path is None:
+        path = f"{tailer.cfg.target_path.rstrip('/')}/_metrics/cdc.prom"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(prometheus_lines(tailer, include_lag)) + "\n")
+    os.replace(tmp, path)
+    return path

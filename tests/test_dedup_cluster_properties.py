@@ -73,11 +73,11 @@ def test_chain_converges_in_diameter_rounds(spark):
         connected_components(df, max_iterations=2)
 
 
-def test_long_path_converges_via_pointer_jumping(spark):
+def test_long_path_converges_via_star_contraction(spark):
     """Round-4 (VERDICT #4): a 1000-node path graph — the worst case
     for plain min-label propagation (999 rounds, previously raised at
-    25) — converges within the default bound thanks to the pointer-
-    jump rounds, and to the correct single component."""
+    25) — converges within the default bound via the large-star/
+    small-star fallback, to the correct single component."""
     n = 1000
     edges = [(i, i + 1) for i in range(n - 1)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
@@ -87,9 +87,10 @@ def test_long_path_converges_via_pointer_jumping(spark):
 
 
 def test_high_diameter_random_graph_matches_union_find(spark):
-    """Chains + random chords: pointer jumping must stay correct (a
-    label is only ever replaced by a smaller node id from the same
-    component), verified against the union-find oracle."""
+    """Chains + random chords — the shape where label propagation
+    crawls node-by-node after a chord merges two converged chains.
+    The star-contraction fallback must produce exactly the union-find
+    oracle's components."""
     rng = random.Random(7)
     n_nodes = 400
     # four chains of 100, then a few chords merging some of them
