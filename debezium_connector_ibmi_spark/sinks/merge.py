@@ -633,7 +633,7 @@ class KeyBucketedTarget:
         self,
         batch: DataFrame,
         batch_id: int,
-        watermark: tuple[int, int] | None = None,
+        watermark: tuple[int, int] | Callable[[], tuple | None] | None = None,
         partitions: list[dict] | Callable[[], list[dict]] | None = None,
         writer_id: str | None = None,
     ) -> dict:
@@ -744,6 +744,11 @@ class KeyBucketedTarget:
         # domains are separated (see watermark() docstring): only a
         # positional writer (writer_id=None: the tailer) advances the
         # shared watermark; a namespaced writer records its own.
+        # A callable watermark (Observation-backed, streaming path) is
+        # resolved HERE — after the write actions, so the metrics rode
+        # the writes instead of needing their own job.
+        if callable(watermark):
+            watermark = watermark()
         prev_wm = (last or {}).get("watermark")
         writer_wms = dict((last or {}).get("writer_watermarks") or {})
         if writer_id is None:

@@ -513,11 +513,31 @@ def run_structured_stream(
         # T12 in streaming mode: schema events in this micro-batch
         # apply before its data merge, exactly once (version fence)
         apply_schema_changes_for_slice(target, cfg, evolution, df)
+        # the epoch's max position rides the merge's own first action
+        # as an Observation (same zero-extra-jobs trick as the
+        # tailer's _observe_lineage; resolved lazily by the sink AFTER
+        # its write actions, with an aggregation fallback if the
+        # metrics row is unavailable)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = df.observe(
+            obs,
+            F.max(F.struct(F.col("receiver_idx"), F.col("seq"))).alias("w"),
+        )
         # persist: the sink takes two actions over the batch
-        batch = prepare_batch(df, cfg).persist()
-        wm = df.agg(
-            F.max(F.struct(F.col("receiver_idx"), F.col("seq"))).alias("w")
-        ).collect()[0]["w"]
+        batch = prepare_batch(observed, cfg).persist()
+
+        def wm_provider():
+            try:
+                w = obs.get["w"]
+            except Exception:
+                w = df.agg(
+                    F.max(
+                        F.struct(F.col("receiver_idx"), F.col("seq"))
+                    ).alias("w")
+                ).collect()[0]["w"]
+            return (w["receiver_idx"], w["seq"]) if w else None
         # epoch_id is a DIFFERENT id domain than the tailer's
         # last_batch_id()+1 counter — namespace the fence per writer
         # so mixed tail/stream runs on one target can't silently skip.
@@ -531,7 +551,7 @@ def run_structured_stream(
         target.merge(
             batch,
             batch_id=epoch_id,
-            watermark=(wm["receiver_idx"], wm["seq"]) if wm else None,
+            watermark=wm_provider,
             writer_id=_stream_writer_id(),
         )
         batch.unpersist()
