@@ -101,14 +101,85 @@ def wav_payload(doc_id: int) -> bytes:
     )
 
 
-_BUILDERS = {"image": png_payload, "audio": wav_payload}
+# GIF (the "video" stand-in: a real multi-frame container) ------------
+GIF_W_MOD, GIF_W_MIN = 24, 4  # width in [4, 27]
+GIF_H_MOD, GIF_H_MIN = 18, 4  # height in [4, 21]
+GIF_FRAMES_MOD, GIF_FRAMES_MIN = 12, 2  # frames in [2, 13]
+GIF_DELAY_MOD, GIF_DELAY_MIN = 20, 2  # per-frame delay in [2, 21] cs
+
+
+def gif_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(width, height, n_frames, delay_cs)."""
+    return (
+        doc_id % GIF_W_MOD + GIF_W_MIN,
+        (doc_id * 5) % GIF_H_MOD + GIF_H_MIN,
+        doc_id % GIF_FRAMES_MOD + GIF_FRAMES_MIN,
+        doc_id % GIF_DELAY_MOD + GIF_DELAY_MIN,
+    )
+
+
+def _gif_lzw_uncompressed(pixels: list[int], min_code: int = 2) -> bytes:
+    """Spec-valid LZW stream with NO compression: a CLEAR code before
+    every literal keeps the decoder's table empty and the code width
+    constant at min_code+1 bits — the standard 'uncompressed GIF'
+    technique. LSB-first bit packing per the GIF spec."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    acc = n_bits = 0
+    out = bytearray()
+    codes = []
+    for p in pixels:
+        codes += [clear, p]
+    codes.append(end)
+    for c in codes:
+        acc |= c << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_payload(doc_id: int) -> bytes:
+    """Spec-valid animated GIF89a: global 2-color table, one graphic-
+    control extension (frame delay) + image descriptor + LZW data per
+    frame, trailer. Frame pixels are constant ``(doc_id + i) % 2``."""
+    w, h, n_frames, delay = gif_params(doc_id)
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: GCT flag set, 2-entry table
+    out += struct.pack("<HHBBB", w, h, 0x80, 0, 0)
+    out += bytes([0, 0, 0, doc_id % 256, (doc_id * 3) % 256, 255])  # GCT
+    data_cache: dict[int, bytes] = {}
+    for i in range(n_frames):
+        # graphic control extension (delay in centiseconds)
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00"
+        # image descriptor: full-frame, no local color table
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        pix = (doc_id + i) % 2
+        if pix not in data_cache:
+            data_cache[pix] = _gif_lzw_uncompressed([pix] * (w * h))
+        data = data_cache[pix]
+        out.append(2)  # LZW minimum code size
+        for off in range(0, len(data), 255):
+            block = data[off : off + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)  # sub-block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+_BUILDERS = {"image": png_payload, "audio": wav_payload, "video": gif_payload}
 
 
 def media_from_docs(docs: DataFrame, kind: str) -> DataFrame:
-    """documents(doc_id, ...) -> media table with REAL payload bytes
-    for image/audio (PNG/WAV built per Arrow batch, vectorized over
-    the batch — no per-row Python UDF), or utf-8 text bytes for video
-    (the stand-in modality whose codec stays stubbed).
+    """documents(doc_id, ...) -> media table with REAL payload bytes:
+    PNG for image, WAV for audio, multi-frame animated GIF for video
+    (built per Arrow batch — no per-row Python UDF). Unknown kinds
+    fall back to utf-8 text bytes.
 
     Scale shape: map-only (mapInPandas), payload built from doc_id
     alone — at 100 TB this is the decode-side twin of the operators
@@ -119,7 +190,11 @@ def media_from_docs(docs: DataFrame, kind: str) -> DataFrame:
     )
 
     build = _BUILDERS.get(kind)
-    mime = {"image": "image/png", "audio": "audio/wav"}.get(kind, "video/fake")
+    mime = {
+        "image": "image/png",
+        "audio": "audio/wav",
+        "video": "image/gif",  # animated GIF: the video stand-in
+    }.get(kind, "application/octet-stream")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

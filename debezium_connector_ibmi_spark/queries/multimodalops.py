@@ -1,12 +1,12 @@
 """Driver-gate queries for the multimodal operators
 (operators/multimodal.py) over REAL byte formats: each document's
-doc_id deterministically generates a spec-valid PNG / WAV payload
-(datagen/media.py, stdlib-only), the operators genuinely parse those
-bytes (IHDR decode, RIFF chunk walk, int16 sample decode), and the
-DuckDB oracle independently predicts what the parse must find from
-the same doc_id arithmetic — so a broken parser (wrong offset, wrong
-endianness, wrong chunk walk) hash-mismatches. Video remains the
-md5-fake stand-in modality (no container codec in this environment).
+doc_id deterministically generates a spec-valid PNG / WAV / animated-
+GIF payload (datagen/media.py, stdlib-only), the operators genuinely
+parse those bytes (IHDR decode, RIFF chunk walk, int16 sample decode,
+GIF block walk over image descriptors), and the DuckDB oracle
+independently predicts what the parse must find from the same doc_id
+arithmetic — so a broken parser (wrong offset, wrong endianness,
+wrong chunk/block walk) hash-mismatches.
 """
 
 from __future__ import annotations
@@ -45,8 +45,9 @@ def mm_image_resize(spark, sf_dir):
 
 
 def mm_frame_sample(spark, sf_dir):
-    """1-to-N frame sampling (every_n=1: one row per fake frame) over
-    the video stand-in payload (utf-8 text bytes)."""
+    """1-to-N frame sampling (every_n=1: one row per frame) over REAL
+    multi-frame animated GIFs — the block walk counts image
+    descriptors and reads geometry + graphic-control delay."""
     return sample_frames(
         media_from_docs(_docs(spark, sf_dir), "video"), every_n=1
     )
@@ -100,17 +101,19 @@ ORACLES = {
         GROUP BY doc_id, sample_rate, n
     """,
     "mm_frame_sample": """
-        WITH x AS (
-            SELECT doc_id, text,
-                   unnest(range(0, greatest(1,
-                       octet_length(CAST(text AS BLOB)) // 1000))) AS i
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(doc_id % 24 + 4 AS INT) AS w,
+                   CAST((doc_id * 5) % 18 + 4 AS INT) AS h,
+                   doc_id % 12 + 2 AS n,
+                   CAST(doc_id % 20 + 2 AS INT) AS delay
             FROM documents
         )
         SELECT doc_id AS media_id,
-               CAST(i AS INT) AS frame_idx,
-               substring(md5(text || ':' || CAST(i AS VARCHAR)), 1, 8)
-                   AS frame_phash
-        FROM x
+               CAST(unnest(range(0, n)) AS INT) AS frame_idx,
+               w AS frame_w, h AS frame_h, delay AS delay_cs,
+               CAST(NULL AS VARCHAR) AS frame_phash
+        FROM d
     """,
     "mm_image_resize": """
         WITH d AS (
