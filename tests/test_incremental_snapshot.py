@@ -194,3 +194,20 @@ def test_incremental_snapshot_via_signal(spark, tmpdir_path):
 
     # replayed signal: fence makes it a no-op (already recorded)
     assert proc.poll() == []
+
+
+def test_materialized_chunks_match_direct_and_prune(spark, tmpdir_path):
+    """Round-4: materialize_chunks pre-buckets the source once; every
+    chunk read is then partition-pruned (PartitionFilters on __chunk)
+    and yields exactly the same rows as the direct hash-filter path."""
+    cfg = _cfg(tmpdir_path, f"{tmpdir_path}/journal")
+    pages = generate_pages(spark, GEN).drop("version")
+    direct = IncrementalSnapshotter(spark, cfg, pages, n_chunks=4)
+    prepared = IncrementalSnapshotter(spark, cfg, pages, n_chunks=4)
+    prepared.materialize_chunks(f"{tmpdir_path}/chunks")
+    for i in range(4):
+        a = sorted(r["url"] for r in direct._chunk_df(i).collect())
+        b = sorted(r["url"] for r in prepared._chunk_df(i).collect())
+        assert a == b, i
+        plan = prepared._chunk_df(i)._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(__chunk" in plan, plan[:500]
