@@ -59,6 +59,17 @@ class EngineConfig:
     #  "salted" two-phase salted window (legacy skew handling)
     compaction_mode: str = "fused"
 
+    # Debezium ``snapshot.mode`` analogue (reference config surface:
+    # As400ConnectorConfig snapshot modes; semantics = Debezium core):
+    #  "initial"      snapshot once on an empty target, then stream
+    #  "initial_only" snapshot on an empty target, never stream
+    #  "never"        stream only (target starts empty; first events
+    #                 materialize rows)
+    #  "when_needed"  like initial, but ALSO rebuild the snapshot when
+    #                 the committed resume position is unusable
+    #                 (journal truncated past it) instead of failing
+    snapshot_mode: str = "initial"
+
     # streaming
     poll_interval_ms: int = 2000
     # T6: resume position older than the earliest available entry

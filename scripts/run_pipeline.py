@@ -12,6 +12,9 @@ Locally the same script runs with plain ``python``. Subcommands:
 
 - ``generate``  synthesize a journal (deterministic, seeded)
 - ``snapshot``  initial load with head-watermark handover (T10)
+- ``run``       one orchestrated cycle under Debezium snapshot.mode
+                semantics (initial / initial_only / never /
+                when_needed — streaming/orchestrator.py)
 - ``tail``      plan+apply micro-batches to head (or --follow poll)
 - ``stream``    Structured Streaming mode (foreachBatch)
 - ``metrics``   print per-receiver lag metrics (A1)
@@ -55,7 +58,7 @@ def main(argv=None):
     g.add_argument("--payload-repeat", type=int, default=2)
     g.add_argument("--files", type=int, default=16)
 
-    for name in ("snapshot", "tail", "stream", "metrics"):
+    for name in ("snapshot", "tail", "stream", "metrics", "run"):
         s = sub.add_parser(name)
         s.add_argument("--journal", required=True)
         s.add_argument("--target", required=True)
@@ -85,6 +88,15 @@ def main(argv=None):
             s.add_argument("--checkpoint", default="")
             s.add_argument("--continuous", action="store_true")
         if name == "snapshot":
+            s.add_argument("--n-urls", type=int, default=10_000)
+        if name == "run":
+            # one orchestrated catch-up cycle under snapshot.mode
+            # semantics (streaming/orchestrator.py)
+            s.add_argument(
+                "--snapshot-mode",
+                default="initial",
+                choices=["initial", "initial_only", "never", "when_needed"],
+            )
             s.add_argument("--n-urls", type=int, default=10_000)
 
     sg = sub.add_parser("signal")  # operator side: enqueue a signal
@@ -141,6 +153,34 @@ def main(argv=None):
         ).drop("version")
         wm = initial_snapshot(spark, _cfg(args), pages)
         print(json.dumps({"snapshot_watermark": list(wm)}))
+        return 0
+
+    if args.cmd == "run":
+        from dataclasses import replace as _replace
+
+        from debezium_connector_ibmi_spark.datagen.journal import (
+            JournalGenConfig,
+            generate_pages,
+        )
+        from debezium_connector_ibmi_spark.streaming.orchestrator import run_cdc
+
+        cfg = _replace(_cfg(args), snapshot_mode=args.snapshot_mode)
+        pages = None
+        if args.snapshot_mode != "never":
+            pages = generate_pages(
+                spark, JournalGenConfig(n_urls=args.n_urls)
+            ).drop("version")
+        out = run_cdc(spark, cfg, pages=pages)
+        print(
+            json.dumps(
+                {
+                    "snapshot": out["snapshot"],
+                    "resnapshot": out["resnapshot"],
+                    "watermark": list(out["watermark"]),
+                    "batches": len(out["batches"]),
+                }
+            )
+        )
         return 0
 
     if args.cmd == "vacuum":
