@@ -39,6 +39,25 @@ def token_count(text: Column | str = "text") -> Column:
     return F.size(words_col(text))
 
 
+# GPT-2-style pre-tokenizer pattern, RE2-compatible (the original's
+# trailing-space lookahead clause is dropped — RE2/DuckDB has no
+# lookahead; the corpus is single-spaced so the clause never fires
+# anyway). Leftmost-first alternation behaves identically in Java
+# regex (Spark) and RE2 (DuckDB) — parity probed in tests.
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(text: Column | str = "text") -> Column:
+    """BPE-ish pre-token count: the number of GPT-2-pretokenizer
+    matches (contractions, letter runs, digit runs, punctuation runs,
+    residual whitespace) — the standard proxy for LLM token budget
+    before merges. Map-only codegen (regexp_extract_all + size)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
 def stopword_count(
     text: Column | str = "text", stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
 ) -> Column:

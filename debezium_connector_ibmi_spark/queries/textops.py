@@ -31,6 +31,17 @@ def doc_token_count(spark, sf_dir):
     )
 
 
+def doc_token_count_bpe(spark, sf_dir):
+    """Whitespace vs BPE-ish (GPT-2 pre-tokenizer regex) token counts
+    side by side — the LLM-budget proxy the round brief asks for.
+    Map-only codegen; RE2-portable pattern so DuckDB reproduces it."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ta.token_count().alias("n_tokens_ws"),
+        ta.bpe_token_count().alias("n_tokens_bpe"),
+    )
+
+
 def doc_quality_score(spark, sf_dir):
     q = ta.quality_columns()
     return _docs(spark, sf_dir).select(
@@ -353,6 +364,7 @@ QUERIES = {
     "doc_top_terms": doc_top_terms,
     "doc_quality_percentiles": doc_quality_percentiles,
     "doc_token_count": doc_token_count,
+    "doc_token_count_bpe": doc_token_count_bpe,
     "doc_quality_score": doc_quality_score,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
@@ -442,6 +454,16 @@ ORACLES = {
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,
                len(text) AS n_chars_actual
+        FROM documents
+    """,
+    # same RE2-portable GPT-2 pre-tokenizer pattern as
+    # operators.text_analysis.BPE_TOKEN_PATTERN
+    "doc_token_count_bpe": r"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens_ws,
+               len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                   AS n_tokens_bpe
         FROM documents
     """,
     "doc_quality_score": f"""

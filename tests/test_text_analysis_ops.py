@@ -156,3 +156,41 @@ def test_chunk_tokens_boundaries(spark):
     assert out[(4, 0)] == ("solo", 1)
     # overlap region of consecutive chunks repeats exactly
     assert out[(1, 0)][0].split()[-2:] == out[(1, 1)][0].split()[:2]
+
+
+def test_bpe_token_pattern_parity_with_re2(spark):
+    """Round-4: the GPT-2-ish pre-tokenizer pattern must tokenize
+    identically under Java regex (Spark) and RE2 (DuckDB) — pinned on
+    adversarial strings (contractions, unicode letters, digit runs,
+    punctuation runs, multi-space, empty)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from debezium_connector_ibmi_spark.operators.text_analysis import (
+        BPE_TOKEN_PATTERN,
+        bpe_token_count,
+    )
+
+    texts = [
+        "Hello, world! It's 2024 — really?",
+        "foo  bar   baz\ttab",
+        "a1b2 c3, d'4 naïve café 北京 123abc",
+        "",
+        "   ",
+        "don't stop-me now!!!",
+        "x'll y've z're w'd q'm",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", bpe_token_count().alias("n")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            "SELECT length(regexp_extract_all(?, ?))",
+            [t, BPE_TOKEN_PATTERN],
+        ).fetchone()[0]
+        assert got[i] == want, (i, t, got[i], want)
