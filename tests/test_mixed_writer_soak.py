@@ -180,3 +180,89 @@ def test_mixed_writer_soak(spark, tmpdir_path):
                 break
     pages.unpersist()
     assert not failures, failures[:3]
+
+
+def test_fanout_soak(spark, tmpdir_path):
+    """Round-4: randomized multi-table soak — one shared two-table
+    journal fanned out under shuffled schedules of shared-range
+    catch-up steps, per-table maintenance (rescale / expire /
+    compact), and full-restart orchestrators; every interleaving's
+    per-table final state must equal that table's fold oracle.
+    Exercises the round-4 fan-out fixes (per-table schema isolation,
+    shared-slice lineage, watermark skipping) under randomized order.
+    """
+    from debezium_connector_ibmi_spark.datagen.journal import (
+        generate_journal,
+    )
+    from debezium_connector_ibmi_spark.streaming.fanout import (
+        MultiTableTailer,
+    )
+
+    gen = JournalGenConfig(
+        n_urls=10, n_ops=50, txn_size=10, receiver_rotation=25
+    )
+    jdir = f"{tmpdir_path}/j"
+    j1 = generate_journal(spark, gen).withColumn(
+        "seq", (F.col("seq") * 2).cast("long")
+    )
+    j2 = (
+        generate_journal(spark, gen)
+        .withColumn("seq", (F.col("seq") * 2 + 1).cast("long"))
+        .withColumn(
+            "table_name",
+            F.regexp_replace(F.col("table_name"), "^PAGES", "LINKS"),
+        )
+        .withColumn(
+            "url",
+            F.when(
+                F.col("url").isNotNull(), F.concat(F.lit("l-"), F.col("url"))
+            ),
+        )
+    )
+    j1.unionByName(j2).write.mode("overwrite").partitionBy(
+        "receiver_idx"
+    ).parquet(jdir)
+    rows = [r.asDict() for r in spark.read.parquet(jdir).collect()]
+    oracles = {
+        t: naive_replay(rows, include_tables=(t,)) for t in ("PAGES", "LINKS")
+    }
+
+    n = int(os.environ.get("SOAK_FANOUT_INTERLEAVINGS", "8"))
+    failures = []
+    for i in range(n):
+        rng = random.Random(4000 + i)
+        cfg = EngineConfig(
+            journal_path=jdir,
+            target_path=f"{tmpdir_path}/root{i}",
+            table_include_list=("PAGES", "LINKS"),
+            num_buckets=2,
+            max_entries_per_batch=rng.choice([60, 120, 300]),
+        )
+        mt = MultiTableTailer(spark, cfg)
+        ops = ["step", "step"] + rng.sample(
+            ["rescale", "expire", "compact", "restart"], k=2
+        )
+        rng.shuffle(ops)
+        for op in ops:
+            if op == "step":
+                mt.run_to_head(max_batches=1)
+            elif op == "rescale":
+                mt.target(rng.choice(("PAGES", "LINKS"))).rescale_buckets(
+                    rng.choice([3, 4])
+                )
+            elif op == "expire":
+                mt.target("PAGES").expire_versions(keep_last=2)
+            elif op == "compact":
+                mt.target("LINKS").compact(min_versions=2)
+            elif op == "restart":
+                mt = MultiTableTailer(spark, cfg)  # crash + fresh process
+        mt.run_to_head()
+        for t in ("PAGES", "LINKS"):
+            got = state_df_to_dict(
+                mt.target(t).read().drop("bucket", "receiver_idx", "seq")
+            )
+            if set(got) != set(oracles[t]) or any(
+                got[u]["html"] != o["html"] for u, o in oracles[t].items()
+            ):
+                failures.append((i, ops, t))
+    assert not failures, failures
