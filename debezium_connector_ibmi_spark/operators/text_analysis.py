@@ -58,6 +58,37 @@ def bpe_token_count(text: Column | str = "text") -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0))
 
 
+def winnow_fingerprints(
+    text: str = "text", k: int = 3, w: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm): hash every token ``k``-gram, slide a window
+    of ``w`` hashes, keep each window's minimum, dedup. Guarantees at
+    least one shared fingerprint for any shared run of
+    ``w + k - 1`` tokens — the rolling-hash fingerprinting a
+    plagiarism/near-dup pipeline uses when shingle sets are too big.
+
+    Returns the ARRAY of distinct fingerprints (explode for rows).
+    Map-only Catalyst expressions (transform/slice/array_min inside
+    codegen) — no UDF, no shuffle; at 100 TB the cost is one pass of
+    the text column. Hash = first 8 md5 hex digits as unsigned int
+    (engine-portable: DuckDB reproduces it with a '0x' cast)."""
+    return F.expr(
+        f"""
+        CASE WHEN size(split({text}, ' ')) < {k} THEN array()
+        ELSE array_distinct(transform(
+          sequence(1, greatest(size(split({text}, ' ')) - {k} + 1 - {w} + 1, 1)),
+          j -> array_min(slice(
+            transform(sequence(1, size(split({text}, ' ')) - {k} + 1),
+              i -> cast(conv(substring(md5(array_join(
+                     slice(split({text}, ' '), i, {k}), ' ')), 1, 8),
+                   16, 10) as bigint)),
+            j, {w}))))
+        END
+        """
+    )
+
+
 def stopword_count(
     text: Column | str = "text", stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
 ) -> Column:

@@ -76,6 +76,16 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
+def doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash fingerprints: one row per
+    (doc_id, distinct window-min k-gram hash). Map-only codegen +
+    bounded explode (~tokens/w rows per doc)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(ta.winnow_fingerprints("text", k=3, w=4)).alias("fp"),
+    )
+
+
 def doc_dedup_exact(spark, sf_dir):
     return ta.exact_dedup(_docs(spark, sf_dir)).withColumnRenamed(
         "keeper", "keeper_doc_id"
@@ -368,6 +378,7 @@ QUERIES = {
     "doc_quality_score": doc_quality_score,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "doc_dedup_exact": doc_dedup_exact,
     "doc_minhash_signature": doc_minhash_signature,
     "doc_lsh_near_dup_pairs": doc_lsh_near_dup_pairs,
@@ -499,6 +510,25 @@ ORACLES = {
     """,
     "doc_fingerprint": """
         SELECT doc_id, md5(text) AS fp, len(text) AS fp_len FROM documents
+    """,
+    # winnowing (k=3 token-grams, window w=4): hash arithmetic mirrors
+    # operators.text_analysis.winnow_fingerprints exactly
+    "doc_winnow_fingerprints": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   [CAST('0x' || substring(md5(
+                        array_to_string(ws[i:i+2], ' ')), 1, 8) AS BIGINT)
+                    FOR i IN range(1, greatest(len(ws) - 2, 0) + 1)] AS hs
+            FROM t
+        )
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [list_min(hs[j:j+3])
+                    FOR j IN range(1, greatest(len(hs) - 3, 1) + 1)])) AS fp
+        FROM h
+        WHERE len(hs) > 0
     """,
     "doc_dedup_exact": """
         SELECT md5(text) AS fp, count(*) AS n_docs,

@@ -194,3 +194,38 @@ def test_bpe_token_pattern_parity_with_re2(spark):
             [t, BPE_TOKEN_PATTERN],
         ).fetchone()[0]
         assert got[i] == want, (i, t, got[i], want)
+
+
+def test_winnowing_guarantee_and_bounds(spark):
+    """Winnowing property (Schleimer et al.): documents sharing a run
+    of >= w+k-1 tokens share at least one fingerprint; fingerprint
+    count per doc is bounded by the number of hash windows; and the
+    selection is deterministic."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_ibmi_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = w+k-1 tokens
+    docs = [
+        (1, f"intro words here {shared} tail one"),
+        (2, f"{shared} completely different ending text"),
+        (3, "no overlap with anything else at all"),
+        (4, "tiny doc"),  # < k tokens -> no fingerprints
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = df.select(
+        "doc_id", winnow_fingerprints("text", k=k, w=w).alias("fps")
+    )
+    fps = {r["doc_id"]: set(r["fps"]) for r in out.collect()}
+    assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert fps[4] == set()
+    for did, text in docs[:3]:
+        n_tokens = len(text.split(" "))
+        n_windows = max(n_tokens - k + 1 - w + 1, 1)
+        assert 1 <= len(fps[did]) <= n_windows
+    out2 = {r["doc_id"]: set(r["fps"]) for r in out.collect()}
+    assert out2 == fps  # deterministic
