@@ -57,6 +57,51 @@ def pii_scrub(text: Column | str = "text") -> Column:
     return c
 
 
+def normalize_url(url: Column | str = "url") -> Column:
+    """Canonical URL form for CDC keying — the webtext analogue of
+    primary-key normalization (this engine MERGEs by url; two spellings
+    of one page must not become two target rows):
+
+    - scheme and host lowercased;
+    - default port stripped (``:443`` for https, ``:80`` for http),
+      non-default ports kept;
+    - fragment dropped (never reaches the server);
+    - query parameters sorted (order is not semantic), empty query
+      (trailing ``?``) dropped;
+    - empty path becomes ``/``.
+
+    Pure Catalyst expression chain (regexp_extract / array_sort /
+    concat inside whole-stage codegen) — RE2-portable patterns, so the
+    DuckDB oracle reproduces it with the same steps. Map-only at any
+    scale."""
+    u = F.col(url) if isinstance(url, str) else url
+    no_frag = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    after = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.lower(F.regexp_extract(after, r"^([^/?]+)", 1))
+    host = F.when(
+        (scheme == "https"), F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(
+        F.when(
+            scheme == "http", F.regexp_replace(hostport, r":80$", "")
+        ).otherwise(hostport)
+    )
+    pathq = F.regexp_replace(after, r"^[^/?]+", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(sorted_q == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), sorted_q)
+        ),
+    )
+
+
 def hash_bucket(key: Column, n_buckets: int = 100, salt: str = "") -> Column:
     """Deterministic engine-portable bucket in [0, n_buckets): md5 of
     (salt || key-as-string), first 6 hex digits as an integer, mod n.

@@ -325,3 +325,99 @@ ORACLES["doc_repetition_ratio"] = """
                 // count(*) AS BIGINT) AS rep_permille
     FROM sh0 GROUP BY doc_id
 """
+
+
+def doc_url_normalize(spark, sf_dir):
+    """Canonical-URL normalization for CDC keying: deterministic messy
+    URL variants (host/scheme case, default vs explicit ports,
+    fragments, shuffled query params) built from doc_id, normalized by
+    operators.corpus_ops.normalize_url — the oracle normalizes the
+    SAME messy strings with its own SQL implementation of the spec, so
+    any divergence (port handling, query sorting, fragment handling)
+    hash-mismatches."""
+    from debezium_connector_ibmi_spark.operators.corpus_ops import (
+        normalize_url,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    messy = F.expr(
+        """
+        concat(
+          CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END,
+          '://',
+          CASE WHEN doc_id % 2 = 0
+               THEN concat('www.site-', doc_id % 97, '.example.com')
+               ELSE concat('WWW.Site-', doc_id % 97, '.Example.COM') END,
+          CASE WHEN doc_id % 3 = 0 THEN ':443'
+               WHEN doc_id % 3 = 1 THEN ':8443' ELSE '' END,
+          '/Page/', doc_id,
+          CASE WHEN doc_id % 2 = 0
+               THEN concat('?b=2&a=1&c=', doc_id % 7)
+               ELSE concat('?c=', doc_id % 7, '&b=2&a=1') END,
+          CASE WHEN doc_id % 5 = 0 THEN '#Sec-1' ELSE '' END)
+        """
+    )
+    return docs.select(
+        "doc_id",
+        messy.alias("url_raw"),
+        normalize_url(messy).alias("url_norm"),
+    )
+
+
+QUERIES["doc_url_normalize"] = doc_url_normalize
+
+ORACLES["doc_url_normalize"] = r"""
+    WITH m AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+               || '://'
+               || (CASE WHEN doc_id % 2 = 0
+                        THEN 'www.site-' || CAST(doc_id % 97 AS VARCHAR)
+                             || '.example.com'
+                        ELSE 'WWW.Site-' || CAST(doc_id % 97 AS VARCHAR)
+                             || '.Example.COM' END)
+               || (CASE WHEN doc_id % 3 = 0 THEN ':443'
+                        WHEN doc_id % 3 = 1 THEN ':8443' ELSE '' END)
+               || '/Page/' || CAST(doc_id AS VARCHAR)
+               || (CASE WHEN doc_id % 2 = 0
+                        THEN '?b=2&a=1&c=' || CAST(doc_id % 7 AS VARCHAR)
+                        ELSE '?c=' || CAST(doc_id % 7 AS VARCHAR)
+                             || '&b=2&a=1' END)
+               || (CASE WHEN doc_id % 5 = 0 THEN '#Sec-1' ELSE '' END)
+               AS url_raw
+        FROM documents
+    ), s AS (
+        SELECT doc_id, url_raw,
+               regexp_replace(url_raw, '#.*$', '') AS no_frag
+        FROM m
+    ), p AS (
+        SELECT doc_id, url_raw,
+               lower(regexp_extract(no_frag,
+                   '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+               regexp_replace(no_frag,
+                   '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS after
+        FROM s
+    ), q AS (
+        SELECT doc_id, url_raw, scheme,
+               lower(regexp_extract(after, '^([^/?]+)', 1)) AS hostport,
+               regexp_replace(after, '^[^/?]+', '') AS pathq
+        FROM p
+    ), r AS (
+        SELECT doc_id, url_raw, scheme,
+               CASE WHEN scheme = 'https'
+                    THEN regexp_replace(hostport, ':443$', '')
+                    WHEN scheme = 'http'
+                    THEN regexp_replace(hostport, ':80$', '')
+                    ELSE hostport END AS host,
+               CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = ''
+                    THEN '/'
+                    ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
+               array_to_string(list_sort(string_split(
+                   regexp_extract(pathq, '\?(.*)$', 1), '&')), '&') AS sq
+        FROM q
+    )
+    SELECT doc_id, url_raw,
+           scheme || '://' || host || path
+           || (CASE WHEN sq = '' THEN '' ELSE '?' || sq END) AS url_norm
+    FROM r
+"""

@@ -136,3 +136,38 @@ def test_chunk_dedup_first_occurrence_wins(spark):
     }
     assert out[1] == (2, 1)  # second copy within doc 1 is a dup
     assert out[2] == (2, 1)  # doc 2's "a b c" lost to doc 1's chunk 0
+
+
+def test_normalize_url_pinned_cases(spark):
+    """Hand-pinned canonical forms — not just cross-engine agreement:
+    default-port strip per scheme, non-default port kept, fragment
+    drop, query sort, empty-query drop, empty path -> '/'."""
+    from debezium_connector_ibmi_spark.operators.corpus_ops import (
+        normalize_url,
+    )
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/A/b?b=2&a=1#frag",
+         "https://www.ex.com/A/b?a=1&b=2"),
+        ("http://EX.com:80/", "http://ex.com/"),
+        ("http://ex.com:8080/x", "http://ex.com:8080/x"),
+        ("https://ex.com:8443/x?z=1", "https://ex.com:8443/x?z=1"),
+        ("https://ex.com", "https://ex.com/"),
+        ("https://ex.com?", "https://ex.com/"),
+        ("https://ex.com/p#only-frag", "https://ex.com/p"),
+        ("https://ex.com:443", "https://ex.com/"),
+        # path case is semantic and preserved; host case is not
+        ("https://Ex.Com/CaseSensitive/Path",
+         "https://ex.com/CaseSensitive/Path"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expected string")
+    out = df.select("url", "expected", normalize_url("url").alias("got"))
+    for r in out.collect():
+        assert r["got"] == r["expected"], (r["url"], r["got"])
+    # idempotent: normalizing a normal form is a no-op
+    out2 = df.select(
+        normalize_url(normalize_url("url")).alias("twice"),
+        normalize_url("url").alias("once"),
+    )
+    for r in out2.collect():
+        assert r["twice"] == r["once"]
