@@ -280,22 +280,29 @@ def cdc_state_dedup(spark, sf_dir):
     )
 
 
+# Order matters for the driver's 50-query verification cap (see
+# queries/__init__.py): the two LAST entries are the ones that rotate
+# out when upstream modules grow — cdc_last_per_key_salted pins the
+# same result as cdc_last_per_key through a second plan (plan
+# equivalence is also pytest-covered), and cdc_state_diff's oracle
+# result is the empty relation; both stay registered for local runs
+# but yield their driver slots to flagship queries first.
 QUERIES = {
     "cdc_filter_include": cdc_filter_include,
     "cdc_op_type_map": cdc_op_type_map,
     "cdc_resume_predicate": cdc_resume_predicate,
     "cdc_last_per_key": cdc_last_per_key,
-    "cdc_last_per_key_salted": cdc_last_per_key_salted,
     "cdc_pair_before_after": cdc_pair_before_after,
     "cdc_txn_group": cdc_txn_group,
     "cdc_journal_lag": cdc_journal_lag,
     "cdc_event_counters": cdc_event_counters,
     "cdc_envelope_flat": cdc_envelope_flat,
-    "cdc_state_diff": cdc_state_diff,
     "cdc_snapshot_handover": cdc_snapshot_handover,
     "cdc_quarantine_rows": cdc_quarantine_rows,
     "cdc_changelog_materialize": cdc_changelog_materialize,
     "cdc_state_dedup": cdc_state_dedup,
+    "cdc_last_per_key_salted": cdc_last_per_key_salted,
+    "cdc_state_diff": cdc_state_diff,
 }
 
 ORACLES = {
