@@ -141,9 +141,12 @@ def contamination(
 
     Scale shape: the benchmark's distinct shingle set is broadcast
     (benchmark suites are tiny next to the corpus), so the corpus is
-    scanned once, exploded to distinct (doc, shingle) pairs, and
-    joined map-side — no corpus shuffle. Docs shorter than n words
-    have no shingles and are reported clean.
+    scanned once, exploded to within-doc-distinct (doc, shingle) pairs
+    (``array_distinct`` BEFORE the explode — map-only, the exploded
+    5x-volume pairs never shuffle), and joined map-side. The only
+    corpus-side exchange is the post-join ``groupBy(id_col)`` over the
+    surviving hits. Docs shorter than n words have no shingles and are
+    reported clean.
 
     ``join_mode`` guards the broadcast at scale (round-4, VERDICT r3
     #8): "broadcast" forces the map-side join, "shuffle" forces a
@@ -157,14 +160,23 @@ def contamination(
     if join_mode not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"unknown join_mode {join_mode!r}")
     long_enough = F.size(words_col(text)) >= n
-    doc_sh = (
-        docs.filter(long_enough)
-        .select(F.col(id_col), F.explode(shingles(text, n=n)).alias("shingle"))
-        .distinct()
+    # within-doc shingle dedup is map-only: array_distinct BEFORE the
+    # explode yields exactly the distinct (doc, shingle) pair set a
+    # post-explode .distinct() would — without shuffling the exploded
+    # corpus (~5x the text volume). The only corpus-side exchange left
+    # in the plan is the groupBy(id_col) after the broadcast join
+    # (plan-pinned in tests/test_plan_shape.py).
+    doc_sh = docs.filter(long_enough).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text, n=n))).alias("shingle"),
     )
     bench_sh = (
         benchmark.filter(long_enough)
-        .select(F.explode(shingles(text, n=n)).alias("shingle"))
+        # benchmark needs CROSS-doc dedup too (distinct stays), but
+        # array_distinct first shrinks the exchange it feeds
+        .select(
+            F.explode(F.array_distinct(shingles(text, n=n))).alias("shingle")
+        )
         .distinct()
     )
     if join_mode == "auto":

@@ -77,6 +77,11 @@ def _star_contraction(sym: DataFrame, max_passes: int) -> DataFrame:
     Each pass is a single dependency chain over one checkpointed edge
     relation — constant plan size per pass."""
     e = sym.localCheckpoint()
+    # the star passes drop self-loops (a != b), so a node whose only
+    # edges are self-loops would vanish from the label output while the
+    # min-label fast path keeps it — preserve the full node set and
+    # left-join the star labels back over it at the end
+    all_nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint()
     prev_fp = None
     for _ in range(max_passes):
         ls = _large_star(
@@ -91,13 +96,21 @@ def _star_contraction(sym: DataFrame, max_passes: int) -> DataFrame:
         ).collect()[0]
         fp = (int(row["n"]), int(row["h"]) if row["h"] is not None else 0)
         if fp == prev_fp:
-            # stars: every edge is (node, component-root)
-            return (
+            # stars: every edge is (node, component-root); nodes with
+            # no surviving edge (self-loop-only) label themselves
+            labels = (
                 e.select(F.col("a").alias("node"), F.col("b").alias("comp"))
                 .union(
                     e.select(F.col("b").alias("node"), F.col("b").alias("comp"))
                 )
                 .distinct()
+            )
+            return (
+                all_nodes.join(labels, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("comp", F.col("node")).alias("comp"),
+                )
             )
         prev_fp = fp
     raise RuntimeError(

@@ -52,6 +52,30 @@ from debezium_connector_ibmi_spark.sources.journal_source import read_journal
 LINEAGE_OBSERVE_MAX_RECEIVERS = 64
 
 
+def _observation_metrics(obs) -> dict | None:
+    """Bounded resolution of a PySpark Observation: the metrics dict
+    if the observed plan's first action has ALREADY completed, else
+    None (caller falls back to a dedicated aggregation).
+
+    ``Observation.get`` blocks indefinitely until the observed plan's
+    first action — a sink whose commit path never executes an action
+    over the batch (e.g. a custom target that short-circuits) would
+    hang the provider instead of falling back (round-4 ADVICE). The
+    JVM object's ``future().isCompleted()`` is a zero-wait completion
+    probe; ``get`` after a completed future returns immediately. Any
+    resolution error (including the empty-relation-collapsed
+    schemaless metrics row) also returns None."""
+    jo = getattr(obs, "_jo", None)
+    if jo is None:
+        return None  # observe() never attached
+    try:
+        if not jo.future().isCompleted():
+            return None
+        return obs.get
+    except Exception:
+        return None
+
+
 def _merge_columns() -> list[str]:
     return list(STATE_COLUMNS) + ["receiver_idx", "seq", "op"]
 
@@ -239,8 +263,8 @@ class JournalTailer:
         def provider():
             if cache:
                 return cache[0]
-            try:
-                vals = obs.get
+            vals = _observation_metrics(obs)
+            if vals is not None:
                 rows = [
                     {
                         "receiver_idx": r,
@@ -251,8 +275,9 @@ class JournalTailer:
                     for r in receivers
                     if vals.get(f"n{r}")
                 ]
-            except Exception:
-                # poisoned/absent metrics row: recompute honestly
+            else:
+                # unexecuted observed plan / poisoned metrics row:
+                # recompute honestly instead of blocking on obs.get
                 rows = self._lineage_agg(sliced)
             cache.append(rows)
             return cache[0]
@@ -529,9 +554,12 @@ def run_structured_stream(
         batch = prepare_batch(observed, cfg).persist()
 
         def wm_provider():
-            try:
-                w = obs.get["w"]
-            except Exception:
+            # bounded probe, never a blocking obs.get: a sink commit
+            # path that skipped actions over the batch falls back to
+            # the aggregation instead of hanging (round-4 ADVICE)
+            vals = _observation_metrics(obs)
+            w = vals["w"] if vals is not None and "w" in vals else None
+            if w is None:
                 w = df.agg(
                     F.max(
                         F.struct(F.col("receiver_idx"), F.col("seq"))

@@ -113,7 +113,10 @@ class MultiTableTailer:
                         ),
                     }
                 )
-        while max_batches is None or len(out) < max_batches:
+        # data_loss_reset markers above are diagnostics, not processed
+        # ranges — count only range iterations against max_batches
+        n_ranges = 0
+        while max_batches is None or n_ranges < max_batches:
             wms = self.watermarks()
             # reset_earliest: an invalid watermark plans from the chain
             # head (processed=False = inclusive) instead of its stale
@@ -165,4 +168,5 @@ class MultiTableTailer:
                     "tables": results,
                 }
             )
+            n_ranges += 1
         return out

@@ -86,6 +86,37 @@ def test_long_path_converges_via_star_contraction(spark):
     assert set(comp.values()) == {0}
 
 
+def test_self_loop_only_node_survives_star_contraction(spark):
+    """Round-5 (ADVICE r4): the star passes drop self-loops, so a node
+    whose ONLY edges are self-loops must still appear in the output
+    (labelled as its own singleton component) on BOTH paths — the
+    min-label fast path and the star-contraction fallback must return
+    the same node set."""
+    # long chain forces the star-contraction fallback; node 5000 has
+    # only a self-loop
+    n = 300
+    edges = [(i, i + 1) for i in range(n - 1)] + [(5000, 5000)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    # fallback path (chain diameter >> propagation_rounds)
+    comp_star = {
+        r["node"]: r["comp"]
+        for r in connected_components(df, propagation_rounds=2).collect()
+    }
+    assert comp_star[5000] == 5000
+    assert len(comp_star) == n + 1
+    # fast path (enough propagation rounds): identical output node set
+    small = [(0, 1), (5000, 5000)]
+    df2 = spark.createDataFrame(small, "id_a long, id_b long")
+    comp_fast = {
+        r["node"]: r["comp"] for r in connected_components(df2).collect()
+    }
+    comp_star2 = {
+        r["node"]: r["comp"]
+        for r in connected_components(df2, propagation_rounds=0).collect()
+    }
+    assert comp_fast == comp_star2 == {0: 0, 1: 0, 5000: 5000}
+
+
 def test_high_diameter_random_graph_matches_union_find(spark):
     """Chains + random chords — the shape where label propagation
     crawls node-by-node after a chord merges two converged chains.

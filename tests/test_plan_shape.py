@@ -170,6 +170,38 @@ def test_contamination_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin" in plan, "benchmark join not broadcast"
 
 
+def test_contamination_never_shuffles_exploded_pairs(spark):
+    """Round-5 (VERDICT r4 #1): within-doc shingle dedup is
+    array_distinct BEFORE the explode, so the exploded (doc, shingle)
+    pairs — ~5x the corpus text volume — never shuffle. Exactly two
+    shuffle exchanges remain (benchmark-side distinct + post-join
+    per-doc count), and every one of them is an aggregation exchange
+    (HashAggregate child = map-side partial combine upstream); no
+    Exchange ever sits directly over the exploded pair stream."""
+    import re
+
+    from debezium_connector_ibmi_spark.queries.corpusops import (
+        doc_decontaminate,
+    )
+
+    plan = _plan(doc_decontaminate(spark, "/root/testdata/sf0.001"))
+    tree = plan.split("\n\n")[0]
+    shuffles = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+    assert len(shuffles) == 2, f"expected 2 agg exchanges, got {shuffles}"
+    lines = tree.split("\n")
+    for i, line in enumerate(lines):
+        m = re.search(r"(?<!Broadcast)Exchange \(\d+\)", line)
+        if not m:
+            continue
+        # the tree child of an Exchange is the next line, one level
+        # deeper — it must be the partial HashAggregate, never the
+        # Generate/Project of the exploded pairs
+        assert "HashAggregate" in lines[i + 1], (
+            f"non-aggregation shuffle in contamination plan:\n"
+            f"{line}\n{lines[i + 1]}"
+        )
+
+
 def test_hash_sample_is_map_only(spark):
     """doc_sample_stratified is a deterministic filter projection —
     no exchange anywhere in the plan."""

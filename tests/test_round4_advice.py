@@ -206,6 +206,24 @@ def test_fanout_invalid_position_reset_emits_marker(spark, tmpdir_path):
     assert wms["PAGES"] > markers[0]["from"]
 
 
+def test_fanout_marker_records_do_not_consume_max_batches(
+    spark, tmpdir_path
+):
+    """Round-5 (ADVICE r4): data_loss_reset marker dicts are
+    diagnostics — a run with M truncated tables asked for
+    max_batches=1 must still process exactly one real range (before
+    the fix the markers counted toward the cap and zero ranges ran)."""
+    cfg = _fanout_truncation_fixture(spark, tmpdir_path, "reset_earliest")
+    mt = MultiTableTailer(spark, cfg)
+    out = mt.run_to_head(max_batches=1)
+    markers = [o for o in out if o.get("data_loss_reset")]
+    ranges = [o for o in out if "tables" in o]
+    assert len(markers) == 2, "both truncated tables emit a marker"
+    assert len(ranges) == 1, (
+        f"max_batches=1 must process exactly one range, got {len(ranges)}"
+    )
+
+
 # -- 3. medium: schema events stay per-table ---------------------------
 
 
