@@ -75,6 +75,46 @@ def initial_snapshot(
     return head
 
 
+def schema_only_snapshot(
+    spark: SparkSession, cfg: EngineConfig, pages: DataFrame
+) -> tuple[int, int]:
+    """T10 ``schema_only`` mode: declare the target schema and record
+    the current head watermark, but skip the data backfill entirely —
+    streaming then applies only changes made after connector start.
+
+    Reference semantics: ``As400ConnectorConfig.java:282``
+    (``SCHEMA_ONLY("schema_only", false)``) with the
+    ``isIncludeData()`` split at ``:304`` — the snapshot phase runs
+    schema capture but emits no data events. This is the
+    attach-to-a-pre-populated-target restart: the user wants the
+    schema declared and the stream anchored at NOW without rewriting
+    rows they already have.
+
+    The schema is derived lazily from the decoded source shape
+    (``snapshot_state``): schema analysis only, no scan or UDF
+    execution. Commit order matters: the watermark-bearing snapshot
+    commit first, then ``declare_schema`` (which folds the schema into
+    the latest commit, preserving the watermark)."""
+    head = journal_head(spark, cfg.journal_path)
+    target = KeyBucketedTarget(
+        spark,
+        cfg.target_path,
+        key=cfg.key_column,
+        num_buckets=cfg.num_buckets,
+        delete_mode=cfg.delete_mode,
+    )
+    state = snapshot_state(pages)
+    # head watermark recorded with ZERO data rows (empty bucket map)
+    target.init_snapshot(state.limit(0), watermark=head)
+    decl = [[f.name, f.dataType.simpleString()] for f in state.schema.fields]
+    if cfg.delete_mode == "rewrite":
+        # rewrite-mode merges persist tombstones; declare the marker
+        # so _conform never drops it from the first merged batch
+        decl.append(["__deleted", "boolean"])
+    target.declare_schema(decl)
+    return head
+
+
 def detect_new_tables(
     previous_include: tuple[str, ...], current_include: tuple[str, ...]
 ) -> tuple[str, ...]:

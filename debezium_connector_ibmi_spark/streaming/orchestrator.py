@@ -14,6 +14,12 @@ to:
 - ``never``         no snapshot ever; tailing starts from the
                     committed watermark (or the journal start on a
                     fresh target) and rows materialize from events.
+- ``schema_only``   empty target -> declare the table schema and
+                    record the head watermark WITHOUT any data
+                    backfill, then tail: only changes made after
+                    connector start materialize (the reference's
+                    ``SCHEMA_ONLY`` mode, ``isIncludeData()`` false —
+                    the attach-to-a-pre-populated-target restart).
 - ``when_needed``   like ``initial``, and ALSO re-executes the
                     snapshot when the committed resume position is
                     unusable (journal truncated past it): the target
@@ -42,10 +48,19 @@ from debezium_connector_ibmi_spark.plans.range_planner import (
     usable_chain,
     validate_position,
 )
-from debezium_connector_ibmi_spark.sources.snapshot import initial_snapshot
+from debezium_connector_ibmi_spark.sources.snapshot import (
+    initial_snapshot,
+    schema_only_snapshot,
+)
 from debezium_connector_ibmi_spark.streaming.engine import JournalTailer
 
-SNAPSHOT_MODES = ("initial", "initial_only", "never", "when_needed")
+SNAPSHOT_MODES = (
+    "initial",
+    "initial_only",
+    "never",
+    "when_needed",
+    "schema_only",
+)
 
 
 def _position_usable(tailer: JournalTailer) -> bool:
@@ -72,10 +87,12 @@ def run_cdc(
 ) -> dict:
     """Execute one catch-up cycle under ``cfg.snapshot_mode``.
 
-    Returns {"snapshot": bool, "resnapshot": bool, "watermark":
-    (r, s), "batches": [tailer stats...]} — call repeatedly (or wrap
-    in a poll loop) for continuous tailing; every phase commits
-    through the sink fence, so a crash anywhere resumes correctly.
+    Returns {"snapshot": bool, "resnapshot": bool, "schema_declared":
+    bool, "watermark": (r, s), "batches": [tailer stats...]} — call
+    repeatedly (or wrap in a poll loop) for continuous tailing; every
+    phase commits through the sink fence, so a crash anywhere resumes
+    correctly. ``snapshot`` means a DATA snapshot ran;
+    ``schema_declared`` marks the data-less schema_only capture.
     """
     mode = cfg.snapshot_mode
     if mode not in SNAPSHOT_MODES:
@@ -85,9 +102,17 @@ def run_cdc(
         )
     tailer = JournalTailer(spark, cfg, evolution=evolution)
     empty = tailer.target.last_commit() is None
-    did_snapshot = did_resnapshot = False
+    did_snapshot = did_resnapshot = declared = False
 
-    if mode in ("initial", "initial_only", "when_needed") and empty:
+    if mode == "schema_only" and empty:
+        if pages is None:
+            raise ValueError(
+                "snapshot_mode='schema_only' needs the source table "
+                "(pages) to capture the schema"
+            )
+        schema_only_snapshot(spark, cfg, pages)
+        declared = True
+    elif mode in ("initial", "initial_only", "when_needed") and empty:
         if pages is None:
             raise ValueError(
                 f"snapshot_mode={mode!r} needs the source table "
@@ -113,6 +138,7 @@ def run_cdc(
     return {
         "snapshot": did_snapshot,
         "resnapshot": did_resnapshot,
+        "schema_declared": declared,
         "watermark": tuple(tailer.target.watermark()),
         "batches": batches,
     }

@@ -95,7 +95,13 @@ def main(argv=None):
             s.add_argument(
                 "--snapshot-mode",
                 default="initial",
-                choices=["initial", "initial_only", "never", "when_needed"],
+                choices=[
+                    "initial",
+                    "initial_only",
+                    "never",
+                    "when_needed",
+                    "schema_only",
+                ],
             )
             s.add_argument("--n-urls", type=int, default=10_000)
 
@@ -176,6 +182,7 @@ def main(argv=None):
                 {
                     "snapshot": out["snapshot"],
                     "resnapshot": out["resnapshot"],
+                    "schema_declared": out["schema_declared"],
                     "watermark": list(out["watermark"]),
                     "batches": len(out["batches"]),
                 }
