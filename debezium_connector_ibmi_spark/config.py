@@ -50,6 +50,12 @@ class EngineConfig:
     num_buckets: int = 32
     salt_buckets: int = 8
     delete_mode: str = "drop"  # or "rewrite"
+    # merge write strategy (Iceberg write.merge.mode analogue):
+    #  "cow" copy-on-write: each merge reads+rewrites touched buckets
+    #  "mor" merge-on-read: each merge appends per-bucket delta files
+    #        (one Spark job per batch, no current-state read); readers
+    #        resolve by position, compact() folds deltas into a base
+    merge_write_mode: str = "cow"
     # state-path compaction strategy:
     #  "fused"  (default) max_by hash aggregation — partial map-side
     #           combine (shuffle O(keys x map_tasks), no sort,

@@ -44,12 +44,38 @@ class KeyBucketedTarget:
         key: str = "url",
         num_buckets: int = 32,
         delete_mode: str = "drop",
+        write_mode: str = "cow",
     ):
+        """``write_mode`` selects the merge strategy (Iceberg's
+        ``write.merge.mode`` analogue):
+
+        - ``cow`` (copy-on-write, default): every merge reads the
+          touched buckets' current state and rewrites them resolved —
+          reads stay single-file-per-bucket, but the hot path pays a
+          pre-write bucket-discovery pass (the bucket set must be
+          known at PLAN time to read current state) plus read+rewrite
+          amplification proportional to bucket size.
+        - ``mor`` (merge-on-read): a merge writes the pre-compacted
+          batch as immutable DELTA files per bucket — ONE Spark job
+          per batch, no current-state read, no pre-write discovery
+          (touched buckets fall out of the written partition dirs).
+          Readers resolve base+deltas per key by position;
+          ``compact()`` folds deltas back into a base. This is the
+          shape a 100 TB hot path wants: per-batch cost scales with
+          the BATCH, not with bucket size.
+
+        Both modes fence identically and interoperate on one target:
+        reads always resolve any pending deltas, and a cow merge (or
+        ``compact``/``rescale_buckets``/``update_schema``) clears the
+        deltas it consumed."""
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"unknown write_mode {write_mode!r}")
         self.spark = spark
         self.path = path.rstrip("/")
         self.key = key
         self.num_buckets = num_buckets
         self.delete_mode = delete_mode
+        self.write_mode = write_mode
         os.makedirs(f"{self.path}/_commits", exist_ok=True)
         # bucket count is a property of the DATA, not the caller: a
         # target with history adopts its committed count (the
@@ -209,7 +235,7 @@ class KeyBucketedTarget:
         }
         new_version = self._latest_version() + 1
         decl = self.declared_schema()
-        has_data = bool(last.get("buckets"))
+        has_data = bool(last.get("buckets") or last.get("deltas"))
         if decl is None and not has_data:
             raise ValueError(
                 "cannot evolve an undeclared empty table — call "
@@ -233,6 +259,7 @@ class KeyBucketedTarget:
         if has_data:
             written = self._write_buckets(new_state, new_version)
             commit["buckets"] = {str(b): new_version for b in written}
+            commit["deltas"] = {}  # folded into the rewritten base
         self._write_commit(commit)
 
     def watermark(self, writer_id: str | None = None) -> tuple[int, int]:
@@ -316,22 +343,76 @@ class KeyBucketedTarget:
         ``VERSION AS OF`` analogue: every commit's bucket→version map
         is retained, so any historical snapshot is readable without
         data copies. ``buckets`` prunes to only those key buckets
-        (the partition-pruned side of the copy-on-write merge)."""
+        (the partition-pruned side of the copy-on-write merge).
+
+        Merge-on-read resolution: when the commit carries pending
+        delta versions for any wanted bucket, base and delta rows are
+        unioned and resolved per key — greatest (receiver_idx, seq,
+        data version) wins, exactly the position-aware merge the cow
+        path applies at write time (the version tie-break encodes
+        "batch beats state on replayed positions": within a bucket the
+        base version always precedes its delta versions). Buckets with
+        no deltas keep the old single-scan fast path and byte-
+        identical plans."""
         c = self.commit_at(version) if version is not None else self.last_commit()
         if c is None:
             raise FileNotFoundError(f"target {self.path} has no commits")
         mapping: dict[str, int] = c["buckets"]
+        deltas: dict[str, list[int]] = c.get("deltas") or {}
         wanted = (
-            {str(b) for b in buckets} if buckets is not None else set(mapping.keys())
+            {str(b) for b in buckets}
+            if buckets is not None
+            else set(mapping.keys()) | set(deltas.keys())
         )
         paths = [
             f"{self.path}/data/v={ver}/bucket={b}"
             for b, ver in mapping.items()
             if b in wanted
         ]
-        if not paths:
+        # (version, bucket) delta files, grouped by version so each
+        # group reads with one schema and a literal version column
+        dpaths: dict[int, list[str]] = {}
+        for b, vers in deltas.items():
+            if b in wanted:
+                for ver in vers:
+                    dpaths.setdefault(int(ver), []).append(
+                        f"{self.path}/data/v={ver}/bucket={b}"
+                    )
+        if not paths and not dpaths:
             return None
-        return self.spark.read.parquet(*paths)
+        base = self.spark.read.parquet(*paths) if paths else None
+        if not dpaths:
+            return base
+        parts = []
+        if base is not None:
+            parts.append(base.withColumn("__dv", F.lit(-1)))
+        for ver in sorted(dpaths):
+            parts.append(
+                self.spark.read.parquet(*dpaths[ver]).withColumn(
+                    "__dv", F.lit(ver)
+                )
+            )
+        allrows = parts[0]
+        for p in parts[1:]:
+            allrows = allrows.unionByName(p, allowMissingColumns=True)
+        val_cols = [c_ for c_ in allrows.columns if c_ != self.key]
+        ordk = F.struct(F.col("receiver_idx"), F.col("seq"), F.col("__dv"))
+        resolved = (
+            allrows.groupBy(self.key)
+            .agg(F.max_by(F.struct(*val_cols), ordk).alias("__s"))
+            .select(self.key, "__s.*")
+        )
+        if self.delete_mode == "drop":
+            # delta tombstones suppress base rows at read time; the
+            # marker itself is not part of drop-mode state
+            resolved = resolved.filter(
+                ~F.coalesce(F.col("__deleted"), F.lit(False))
+            ).drop("__deleted")
+        else:
+            resolved = resolved.withColumn(
+                "__deleted", F.coalesce(F.col("__deleted"), F.lit(False))
+            )
+        return resolved.drop("__dv")
 
     def exists(self) -> bool:
         return self._latest_version() >= 0
@@ -387,6 +468,12 @@ class KeyBucketedTarget:
             if v >= keep_from:
                 kept += 1
                 referenced.update(int(x) for x in c.get("buckets", {}).values())
+                # pending merge-on-read delta versions are live data
+                referenced.update(
+                    int(x)
+                    for vs in (c.get("deltas") or {}).values()
+                    for x in vs
+                )
         removed_versions = 0
         data_root = f"{self.path}/data"
         if os.path.isdir(data_root):
@@ -423,10 +510,14 @@ class KeyBucketedTarget:
         ``min_versions`` versions. Returns version-spread before/after
         for observability."""
         last = self.last_commit()
-        if last is None or not last.get("buckets"):
+        if last is None or not (last.get("buckets") or last.get("deltas")):
             return {"skipped": True, "reason": "empty"}
-        spread_before = len(set(last["buckets"].values()))
-        if spread_before < min_versions:
+        n_deltas = sum(len(v) for v in (last.get("deltas") or {}).values())
+        spread_before = len(
+            set(last["buckets"].values())
+            | {v for vs in (last.get("deltas") or {}).values() for v in vs}
+        )
+        if spread_before < min_versions and n_deltas == 0:
             return {"skipped": True, "spread": spread_before}
         state = self.read().drop("bucket")
         version = self._latest_version() + 1
@@ -435,6 +526,7 @@ class KeyBucketedTarget:
             **last,
             "version": version,
             "buckets": {str(b): version for b in written},
+            "deltas": {},  # folded into the new base
             "partitions": [],  # lineage rows belong to merge commits only
             "ts": time.time(),
             "kind": "rewrite",
@@ -477,6 +569,7 @@ class KeyBucketedTarget:
             **last,
             "version": version,
             "buckets": {str(b): version for b in written},
+            "deltas": {},  # folded into the rescaled base
             "partitions": [],  # lineage rows belong to merge commits only
             "ts": time.time(),
             "kind": "rescale",
@@ -620,6 +713,7 @@ class KeyBucketedTarget:
                 "version": version,
                 "batch_id": -1,
                 "buckets": {str(b): version for b in buckets},
+                "deltas": {},  # full replace supersedes pending deltas
                 "watermark": list(watermark),
                 "partitions": [],
                 "ts": time.time(),
@@ -671,6 +765,12 @@ class KeyBucketedTarget:
 
         version = self._latest_version() + 1
         last = self.last_commit()
+
+        if self.write_mode == "mor":
+            return self._merge_mor(
+                batch, batch_id, effective_id, version, last,
+                watermark, partitions, writer_id,
+            )
 
         touched = sorted(
             int(r["bucket"])
@@ -738,7 +838,104 @@ class KeyBucketedTarget:
         for b in touched:
             if b not in written and str(b) in bucket_map:
                 del bucket_map[str(b)]
+        # the rewrite consumed any pending merge-on-read deltas of the
+        # touched buckets (cur was read resolved): clear them so reads
+        # don't re-apply
+        deltas_map = {
+            b: list(v)
+            for b, v in ((last or {}).get("deltas") or {}).items()
+            if int(b) not in set(touched)
+        }
 
+        return self._commit_merge(
+            version=version,
+            effective_id=effective_id,
+            batch_id=batch_id,
+            last=last,
+            bucket_map=bucket_map,
+            deltas_map=deltas_map,
+            touched=touched,
+            decl=decl,
+            watermark=watermark,
+            partitions=partitions,
+            writer_id=writer_id,
+        )
+
+    def _merge_mor(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        effective_id: int,
+        version: int,
+        last: dict | None,
+        watermark,
+        partitions,
+        writer_id: str | None,
+    ) -> dict:
+        """Merge-on-read write path: append the pre-compacted batch as
+        immutable per-bucket DELTA files — ONE Spark job, no current-
+        state read, no pre-write bucket discovery (the touched set is
+        the partition dirs the write created). Deletes persist as
+        ``__deleted`` tombstones until a compaction; ``read()``
+        resolves base+deltas per key by (receiver_idx, seq, version).
+        Replay after a crash-before-commit rewrites the same version
+        dir deterministically, so the ``_latest`` flip stays the only
+        visible state change — the same exactly-once argument as the
+        cow path."""
+        delta = batch.withColumn(
+            "__deleted", F.coalesce(F.col("op") == F.lit("d"), F.lit(False))
+        ).drop("op")
+        decl = self.declared_schema()
+        if decl is not None:
+            dd = [list(x) for x in decl]
+            if not any(n == "__deleted" for n, _ in dd):
+                dd.append(["__deleted", "boolean"])
+            delta = self._conform(delta, dd)
+        else:
+            # first-merge declaration parity with cow: drop mode keeps
+            # the tombstone marker out of the declared table schema
+            decl = [
+                [f.name, f.dataType.simpleString()]
+                for f in delta.schema.fields
+                if not (f.name == "__deleted" and self.delete_mode == "drop")
+            ]
+        written = self._write_buckets(delta, version)
+        bucket_map = dict((last or {}).get("buckets") or {})
+        deltas_map = {
+            b: list(v)
+            for b, v in ((last or {}).get("deltas") or {}).items()
+        }
+        for b in written:
+            deltas_map.setdefault(str(b), []).append(version)
+        return self._commit_merge(
+            version=version,
+            effective_id=effective_id,
+            batch_id=batch_id,
+            last=last,
+            bucket_map=bucket_map,
+            deltas_map=deltas_map,
+            touched=sorted(written),
+            decl=decl,
+            watermark=watermark,
+            partitions=partitions,
+            writer_id=writer_id,
+        )
+
+    def _commit_merge(
+        self,
+        *,
+        version: int,
+        effective_id: int,
+        batch_id: int,
+        last: dict | None,
+        bucket_map: dict,
+        deltas_map: dict,
+        touched: list[int],
+        decl,
+        watermark,
+        partitions,
+        writer_id: str | None,
+    ) -> dict:
         # the committed watermark is monotone: an out-of-order batch
         # (file-source disorder) must never move it backwards. Writer
         # domains are separated (see watermark() docstring): only a
@@ -774,6 +971,7 @@ class KeyBucketedTarget:
             "version": version,
             "batch_id": effective_id,
             "buckets": bucket_map,
+            "deltas": deltas_map,
             "watermark": new_wm,
             "writer_watermarks": writer_wms,
             # a callable defers lineage computation until after the

@@ -90,6 +90,7 @@ class IncrementalSnapshotter:
             key=cfg.key_column,
             num_buckets=cfg.num_buckets,
             delete_mode=cfg.delete_mode,
+            write_mode=cfg.merge_write_mode,
         )
 
     def completed_chunks(self) -> int:

@@ -183,6 +183,7 @@ class JournalTailer:
             key=cfg.key_column,
             num_buckets=cfg.num_buckets,
             delete_mode=cfg.delete_mode,
+            write_mode=cfg.merge_write_mode,
         )
 
     def _read_journal(self) -> DataFrame:
@@ -329,17 +330,22 @@ class JournalTailer:
                 import shutil
 
                 shutil.rmtree(qpath, ignore_errors=True)
-        # persist: the sink takes 2 actions over the batch (bucket
+        # persist: the cow sink takes 2 actions over the batch (bucket
         # discovery + merge write); without this the whole decode
-        # pipeline would re-execute per action
-        batch = prepare_batch(sliced_obs, self.cfg).persist()
+        # pipeline would re-execute per action. The mor sink's write
+        # IS its only action — caching would be pure overhead.
+        batch = prepare_batch(sliced_obs, self.cfg)
+        cache = getattr(self.target, "write_mode", "cow") == "cow"
+        if cache:
+            batch = batch.persist()
         stats = self.target.merge(
             batch,
             batch_id=batch_id,
             watermark=(rng.end.receiver_idx, rng.end.seq),
             partitions=lineage,  # callable: resolved after the write
         )
-        batch.unpersist()
+        if cache:
+            batch.unpersist()
         if stats.get("skipped"):
             part_rows = []  # no action ran; the observation never fired
         else:
@@ -517,6 +523,7 @@ def run_structured_stream(
         key=cfg.key_column,
         num_buckets=cfg.num_buckets,
         delete_mode=cfg.delete_mode,
+        write_mode=cfg.merge_write_mode,
     )
 
     def _stream_writer_id() -> str:
@@ -550,8 +557,12 @@ def run_structured_stream(
             obs,
             F.max(F.struct(F.col("receiver_idx"), F.col("seq"))).alias("w"),
         )
-        # persist: the sink takes two actions over the batch
-        batch = prepare_batch(observed, cfg).persist()
+        # persist: the cow sink takes two actions over the batch; the
+        # mor sink's single write action needs no cache
+        cache = getattr(target, "write_mode", "cow") == "cow"
+        batch = prepare_batch(observed, cfg)
+        if cache:
+            batch = batch.persist()
 
         def wm_provider():
             # bounded probe, never a blocking obs.get: a sink commit
@@ -582,7 +593,8 @@ def run_structured_stream(
             watermark=wm_provider,
             writer_id=_stream_writer_id(),
         )
-        batch.unpersist()
+        if cache:
+            batch.unpersist()
 
     stream = read_journal_stream(
         spark, cfg.journal_path, journal_format=cfg.journal_format

@@ -80,6 +80,7 @@ class SignalProcessor:
             key=cfg.key_column,
             num_buckets=cfg.num_buckets,
             delete_mode=cfg.delete_mode,
+            write_mode=cfg.merge_write_mode,
         )
 
     def pending(self) -> list[dict]:
