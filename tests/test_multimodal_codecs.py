@@ -190,3 +190,146 @@ def test_gif_lzw_stream_decodes():
             continue
         decoded.append(code)
     assert decoded == pixels
+
+
+# -- round-5: real pixel path (decode -> resample -> re-encode) --------
+
+
+def _gradient_rgb(w, h):
+    return bytes(
+        c
+        for y in range(h)
+        for x in range(w)
+        for c in ((x * 7) % 256, (y * 11) % 256, (x + y) % 256)
+    )
+
+
+def test_png_pixel_roundtrip_gradient():
+    from debezium_connector_ibmi_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_stored,
+    )
+
+    w, h = 23, 17
+    rgb = _gradient_rgb(w, h)
+    b = encode_png_stored(w, h, rgb)
+    assert len(b) == 68 + h * (1 + 3 * w)
+    assert decode_png_pixels(b) == (w, h, rgb)
+
+
+def test_png_decoder_reconstructs_all_filter_types():
+    """The decoder must invert every PNG filter type, not just the
+    filter-0 scanlines our writer emits — apply each spec filter to a
+    gradient image and verify reconstruction recovers the pixels."""
+    import struct
+    import zlib
+
+    from debezium_connector_ibmi_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    w, h = 9, 6
+    rgb = _gradient_rgb(w, h)
+    stride = 3 * w
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    # filter each scanline with type (y % 5), per spec §6 encoding
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = rgb[y * stride : (y + 1) * stride]
+        f = y % 5
+        raw.append(f)
+        for i in range(stride):
+            a = line[i - 3] if i >= 3 else 0
+            b_ = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = (line[i] - a) & 0xFF
+            elif f == 2:
+                v = (line[i] - b_) & 0xFF
+            elif f == 3:
+                v = (line[i] - ((a + b_) >> 1)) & 0xFF
+            else:
+                v = (line[i] - paeth(a, b_, c)) & 0xFF
+            raw.append(v)
+        prev = line
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    b = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))  # deflated too
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(b) == (w, h, rgb)
+
+
+def test_resample_nearest_mapping():
+    from debezium_connector_ibmi_spark.operators.multimodal import (
+        resample_nearest_rgb,
+    )
+
+    w, h = 8, 4
+    rgb = _gradient_rgb(w, h)
+    ow, oh = 4, 2
+    out = resample_nearest_rgb(w, h, rgb, ow, oh)
+    assert len(out) == ow * oh * 3
+    for oy in range(oh):
+        for ox in range(ow):
+            sx, sy = ox * w // ow, oy * h // oh
+            assert (
+                out[(oy * ow + ox) * 3 : (oy * ow + ox) * 3 + 3]
+                == rgb[(sy * w + sx) * 3 : (sy * w + sx) * 3 + 3]
+            )
+
+
+def test_resize_images_emits_real_resampled_png(spark):
+    """End-to-end through the Spark operator: the emitted payload is a
+    decodable PNG at the bounded dims, out_n_bytes == len(payload) ==
+    the closed form, and a sampled pixel equals the nearest-neighbor
+    source pixel of the REAL input image."""
+    from debezium_connector_ibmi_spark.datagen.media import media_from_docs
+    from debezium_connector_ibmi_spark.operators.multimodal import (
+        decode_png_pixels,
+        resize_images,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = media_from_docs(docs.limit(40), "image")
+    inputs = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.select("media_id", "payload").collect()
+    }
+    rows = resize_images(media, max_dim=64, emit_payload=True).collect()
+    assert rows
+    downscaled = 0
+    for r in rows:
+        pay = bytes(r["out_payload"])
+        assert r["out_n_bytes"] == len(pay)
+        assert len(pay) == 68 + r["out_height"] * (1 + 3 * r["out_width"])
+        ow, oh, out_rgb = decode_png_pixels(pay)
+        assert (ow, oh) == (r["out_width"], r["out_height"])
+        w, h, in_rgb = decode_png_pixels(inputs[r["media_id"]])
+        assert (w, h) == (r["width"], r["height"])
+        # sampled pixel: center of the output maps to i*in//out
+        ox, oy = ow // 2, oh // 2
+        sx, sy = ox * w // ow, oy * h // oh
+        assert (
+            out_rgb[(oy * ow + ox) * 3 : (oy * ow + ox) * 3 + 3]
+            == in_rgb[(sy * w + sx) * 3 : (sy * w + sx) * 3 + 3]
+        )
+        if (ow, oh) != (w, h):
+            downscaled += 1
+    assert downscaled > 0, "fixture must exercise the downscale arm"
