@@ -20,14 +20,20 @@ from debezium_connector_ibmi_spark.queries import (
 )
 
 # Order matters: the driver's correctness harness verifies at most 50
-# queries per round in registry-iteration order. Modules whose queries
-# are new or changed this round go FIRST so every one of them gets a
-# driver-verified row; the tail (relational beyond its first entry,
-# embeddingops, misc_ops) rotates out only when unchanged AND already
-# green in a retained CORRECTNESS_r* file.
+# queries per round in registry-iteration order. Round-5 rotation
+# (VERDICT r4 #7 / ADVICE): the 18 queries whose last driver row is
+# r03 (relational, embeddingops, misc_ops) come back FIRST, then cdc
+# (its two r03-stale entries reordered to the module front), then
+# every module containing round-5 code changes (corpusops:
+# doc_decontaminate; multimodalops: mm_image_resize; textops: merged
+# BPE + cluster-fix queries, changed-first within the module). The
+# first 50 therefore covers all r03-stale + all r5-changed queries;
+# the rotated-out tail (parity_ops + unchanged textops) is
+# code-unchanged and r04-green — nothing is ever verified only by a
+# file older than the previous round.
 _MODULES = (
-    corpusops, multimodalops, textops, parity_ops, cdc, relational,
-    embeddingops, misc_ops,
+    relational, embeddingops, misc_ops, cdc, corpusops, multimodalops,
+    textops, parity_ops,
 )
 
 

@@ -287,7 +287,12 @@ def cdc_state_dedup(spark, sf_dir):
 # equivalence is also pytest-covered), and cdc_state_diff's oracle
 # result is the empty relation; both stay registered for local runs
 # but yield their driver slots to flagship queries first.
+# round-5 rotation (VERDICT r4 #7): the two queries that fell outside
+# the round-4 cap go FIRST this round so nothing stays verified only
+# by a two-round-old CORRECTNESS file
 QUERIES = {
+    "cdc_last_per_key_salted": cdc_last_per_key_salted,
+    "cdc_state_diff": cdc_state_diff,
     "cdc_filter_include": cdc_filter_include,
     "cdc_op_type_map": cdc_op_type_map,
     "cdc_resume_predicate": cdc_resume_predicate,
@@ -301,8 +306,6 @@ QUERIES = {
     "cdc_quarantine_rows": cdc_quarantine_rows,
     "cdc_changelog_materialize": cdc_changelog_materialize,
     "cdc_state_dedup": cdc_state_dedup,
-    "cdc_last_per_key_salted": cdc_last_per_key_salted,
-    "cdc_state_diff": cdc_state_diff,
 }
 
 ORACLES = {

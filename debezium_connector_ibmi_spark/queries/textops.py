@@ -42,6 +42,23 @@ def doc_token_count_bpe(spark, sf_dir):
     )
 
 
+def doc_token_count_bpe_merged(spark, sf_dir):
+    """REAL BPE token budget: pre-tokenize, split to UTF-8 bytes,
+    apply the frozen 127-merge table by rank (functions/bpe.py),
+    count. Not SQL-expressible (the merge loop has no DuckDB
+    equivalent), so this entry ships WITHOUT an oracle — correctness
+    is pinned by tests/test_bpe_merges.py parity against an
+    independent rank-order reference implementation. The pre-merge
+    proxy (``doc_token_count_bpe``) stays the map-only fast path."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ta.bpe_token_count().alias("n_tokens_pre"),
+        ta.merged_bpe_token_count_udf()(F.col("text")).alias(
+            "n_tokens_merged"
+        ),
+    )
+
+
 def doc_quality_score(spark, sf_dir):
     q = ta.quality_columns()
     return _docs(spark, sf_dir).select(
@@ -368,7 +385,17 @@ def doc_scrub_control_chars(spark, sf_dir):
     return d.select("doc_id", scrub_control_chars("dirty").alias("clean"))
 
 
+# round-5 rotation (VERDICT r4 #7): queries whose code CHANGED this
+# round go first (new merged BPE count; doc_dup_clusters /
+# doc_dedup_keep_best ride the connected-components self-loop fix) so
+# they land inside the driver's 50-query cap; the unchanged tail is
+# r04-green
 QUERIES = {
+    "doc_token_count_bpe_merged": doc_token_count_bpe_merged,
+    "doc_dup_clusters": doc_dup_clusters,
+    "doc_dedup_keep_best": doc_dedup_keep_best,
+    "doc_near_dup_verified": doc_near_dup_verified,
+    "doc_lsh_near_dup_pairs": doc_lsh_near_dup_pairs,
     "doc_scrub_control_chars": doc_scrub_control_chars,
     "doc_chunk_tokens": doc_chunk_tokens,
     "doc_top_terms": doc_top_terms,
@@ -381,11 +408,7 @@ QUERIES = {
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "doc_dedup_exact": doc_dedup_exact,
     "doc_minhash_signature": doc_minhash_signature,
-    "doc_lsh_near_dup_pairs": doc_lsh_near_dup_pairs,
     "doc_simhash": doc_simhash,
-    "doc_near_dup_verified": doc_near_dup_verified,
-    "doc_dup_clusters": doc_dup_clusters,
-    "doc_dedup_keep_best": doc_dedup_keep_best,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
 }
 

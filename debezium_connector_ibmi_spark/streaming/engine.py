@@ -457,7 +457,11 @@ class JournalTailer:
                     ),
                 }
             )
-        while max_batches is None or len(out) < max_batches:
+        # the data-loss marker above is a diagnostic, not a processed
+        # range — count only range iterations against max_batches
+        # (same fix as MultiTableTailer.run_to_head, round-5 ADVICE)
+        n_ranges = 0
+        while max_batches is None or n_ranges < max_batches:
             ridx, seq = self.target.watermark()
             start = Position(ridx, seq, processed=True)
             if not validate_position(chain, start):
@@ -469,7 +473,114 @@ class JournalTailer:
             if rng is None:
                 break
             batch_id = self.target.last_batch_id() + 1
-            out.append(self.process_range(journal, rng, batch_id))
+            try:
+                out.append(self.process_range(journal, rng, batch_id))
+            except Exception as exc:
+                # connector-health parity: persist the failure so
+                # health() can report state="failed" with the cause
+                # (CheckHealth.java surfaces the task's last error)
+                self._record_error(exc, batch_id)
+                raise
+            n_ranges += 1
+        return out
+
+    def _record_error(self, exc: Exception, batch_id: int) -> None:
+        import json
+        import os
+
+        mdir = f"{self.cfg.target_path.rstrip('/')}/_metrics"
+        os.makedirs(mdir, exist_ok=True)
+        tmp = f"{mdir}/last_error.json.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "ts": time.time(),
+                    "batch_id": batch_id,
+                    "error": f"{type(exc).__name__}: {exc}",
+                },
+                fh,
+            )
+        os.replace(tmp, f"{mdir}/last_error.json")
+
+    def last_error(self) -> dict | None:
+        import json
+
+        try:
+            with open(
+                f"{self.cfg.target_path.rstrip('/')}/_metrics/last_error.json"
+            ) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def health(
+        self, include_lag: bool = True, stall_after_s: float = 300.0
+    ) -> dict:
+        """Connector-health bean (reference parity:
+        ``connector-health/.../CheckHealth.java`` exposes connector +
+        task state for ops; this engine's analogue derives the state
+        from persisted commits/metrics, since a poll-driven pipeline
+        has no resident process to ask). States:
+
+        - ``empty``            no commit yet (never started)
+        - ``invalid_position`` committed watermark precedes the usable
+                               receiver chain (journal truncated past
+                               the checkpoint — T6 would trigger)
+        - ``failed``           the last recorded batch error is newer
+                               than the last successful commit
+        - ``stalled``          behind the journal head AND no commit
+                               within ``stall_after_s``
+        - ``healthy``          caught up, or progressing
+
+        ``include_lag=False`` skips the one Spark job the lag number
+        needs; the rest is driver-local file/commit state."""
+        c = self.target.last_commit()
+        err = self.last_error()
+        wm = self.target.watermark()
+        out = {
+            "table": (self.cfg.table_include_list or ("",))[0],
+            "state": "healthy",
+            "watermark": list(wm),
+            "last_commit_ts": None if c is None else c.get("ts"),
+            "last_batch_id": None if c is None else c.get("batch_id"),
+            "last_error": None if err is None else err["error"],
+            "lag_total": None,
+        }
+        # journal-behind total (one job); also feeds stall detection
+        if include_lag:
+            try:
+                out["lag_total"] = sum(
+                    int(r["behind"]) for r in self.lag_metrics().collect()
+                )
+            except Exception:
+                out["lag_total"] = None
+        # a failure with no newer successful commit wins — including
+        # the failed-before-first-commit case (which is not "empty":
+        # the pipeline ran and broke)
+        if err is not None and (
+            c is None or c.get("ts") is None or err["ts"] > float(c["ts"])
+        ):
+            out["state"] = "failed"
+            return out
+        if c is None:
+            out["state"] = "empty"
+            return out
+        try:
+            chain = usable_chain(
+                receiver_lineage_from_footers(self.cfg.journal_path)
+                or receiver_lineage(self._read_journal())
+            )
+            if not validate_position(
+                chain, Position(wm[0], wm[1], processed=True)
+            ):
+                out["state"] = "invalid_position"
+                return out
+        except Exception:
+            pass  # no journal yet: nothing to be behind of
+        behind = out["lag_total"]
+        age = time.time() - float(c.get("ts") or 0)
+        if behind is not None and behind > 0 and age > stall_after_s:
+            out["state"] = "stalled"
         return out
 
     def lag_metrics(self) -> DataFrame:

@@ -76,6 +76,26 @@ class MultiTableTailer:
     def watermarks(self) -> dict[str, tuple[int, int]]:
         return {t: tl.target.watermark() for t, tl in self.tailers.items()}
 
+    def health(
+        self, include_lag: bool = True, stall_after_s: float = 300.0
+    ) -> dict:
+        """Pipeline-level health bean (connector-health parity for the
+        fan-out case): per-table task states plus a rolled-up
+        connector state — ``healthy`` only when EVERY table is; the
+        worst table state wins otherwise (severity: failed >
+        invalid_position > stalled > empty > healthy)."""
+        tables = {
+            t: tl.health(include_lag=include_lag, stall_after_s=stall_after_s)
+            for t, tl in self.tailers.items()
+        }
+        severity = ("failed", "invalid_position", "stalled", "empty")
+        state = "healthy"
+        for s in severity:
+            if any(h["state"] == s for h in tables.values()):
+                state = s
+                break
+        return {"state": state, "tables": tables}
+
     def run_to_head(self, max_batches: int | None = None) -> list[dict]:
         """Tail until every table is caught up. Each iteration plans
         ONE shared range from the minimum per-table watermark, slices

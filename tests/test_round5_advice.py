@@ -57,3 +57,46 @@ def test_iceberg_module_type_hints_resolve():
 
     hints = typing.get_type_hints(iceberg.IcebergTarget.merge)
     assert "watermark" in hints
+
+
+def test_tailer_marker_does_not_consume_max_batches(spark, tmpdir_path):
+    """Same class as the fan-out ADVICE fix, applied to JournalTailer:
+    the data_loss_reset marker is a diagnostic — max_batches=1 after a
+    truncation reset must still process one real range."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from debezium_connector_ibmi_spark.config import EngineConfig
+    from debezium_connector_ibmi_spark.datagen.journal import (
+        JournalGenConfig,
+        generate_journal,
+        write_journal,
+    )
+    from debezium_connector_ibmi_spark.streaming.engine import JournalTailer
+
+    gen = JournalGenConfig(n_urls=30, n_ops=300, receiver_rotation=60)
+    cfg = EngineConfig(
+        journal_path=f"{tmpdir_path}/j",
+        target_path=f"{tmpdir_path}/t",
+        num_buckets=4,
+        max_entries_per_batch=600,
+        invalid_position_policy="reset_earliest",
+    )
+    write_journal(spark, gen, cfg.journal_path, num_files=2)
+    JournalTailer(spark, cfg).run_to_head()
+    wm_r = JournalTailer(spark, cfg).target.watermark()[0]
+    for d in os.listdir(cfg.journal_path):
+        if d.startswith("receiver_idx="):
+            shutil.rmtree(f"{cfg.journal_path}/{d}")
+    generate_journal(spark, gen).withColumn(
+        "receiver_idx", (F.col("receiver_idx") + wm_r + 3).cast("int")
+    ).write.mode("append").partitionBy("receiver_idx").parquet(
+        cfg.journal_path
+    )
+    out = JournalTailer(spark, cfg).run_to_head(max_batches=1)
+    markers = [o for o in out if o.get("data_loss_reset")]
+    ranges = [o for o in out if "events" in o]
+    assert len(markers) == 1
+    assert len(ranges) == 1
