@@ -77,6 +77,46 @@ HEADLINE_10X = [
     "doc_chunk_dedup",
 ]
 
+# Round-5 (VERDICT r4 #8): the emb_* sf0.1 times (0.3-1.3s) are
+# noise-bound like the doc ops were — the top-3 ANN/embedding ops get
+# their own 10x-vectors growth block. The 10x corpus keeps the query
+# count CONSTANT (vec_id*10 remap leaves copies of query vector 0 as
+# the only ids < _N_QUERIES) while candidate lists grow 10x — the
+# honest serving-at-scale shape; each copy's components are circularly
+# shifted by the copy index so LSH buckets / IVF cells grow ~linearly
+# instead of collecting 10 exact twins per bucket.
+EMB_10X = [
+    "emb_ivf_topk",
+    "emb_ann_lsh_bucket",
+    "emb_scalar_quantize",
+]
+
+
+def synth_embeddings_10x(spark, sf_dir: str, out_dir: str) -> str:
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    copies = []
+    for i in range(10):
+        c = emb.withColumn("vec_id", F.col("vec_id") * 10 + F.lit(i))
+        if i:
+            c = c.withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {i + 1}, {dim - i}), "
+                    f"slice(embedding, 1, {i}))"
+                ),
+            )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(CPUS).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    return out_dir
+
 
 def synth_docs_10x(spark, sf_dir: str, out_dir: str) -> str:
     from pyspark.sql import functions as F
@@ -153,6 +193,22 @@ def main():
     finally:
         shutil.rmtree(work10, ignore_errors=True)
 
+    # --- 10x-vectors block (round 5): same pattern for the ANN ops ---
+    worke = tempfile.mkdtemp(prefix="ibmi_bench_emb10x_")
+    timings_emb10x: dict[str, float] = {}
+    try:
+        synth_embeddings_10x(spark, SF_DIR, worke)
+        for name in EMB_10X:
+            t0 = time.time()
+            n = qs[name](spark, worke).count()
+            timings_emb10x[name] = round(time.time() - t0, 3)
+            print(
+                f"# emb10x/{name}: {timings_emb10x[name]}s ({n} rows)",
+                file=sys.stderr,
+            )
+    finally:
+        shutil.rmtree(worke, ignore_errors=True)
+
     # --- end-to-end CDC apply (the north-rule metric) -------------------
     work = tempfile.mkdtemp(prefix="ibmi_bench_")
     try:
@@ -215,6 +271,35 @@ def main():
             f" entries, {bin_eps}/s",
             file=sys.stderr,
         )
+
+        # merge-on-read variant (round 5): same columnar journal, the
+        # delta-append hot path + ONE final compaction — the honest
+        # total cost of the mode. Separate JSON keys (not in `value`)
+        # so the headline stays protocol-v2-comparable.
+        from dataclasses import replace as _replace
+
+        cfg_mor = _replace(
+            cfg,
+            target_path=f"{work}/target_mor",
+            merge_write_mode="mor",
+        )
+        tailer_mor = JournalTailer(spark, cfg_mor)
+        t0 = time.time()
+        stats_mor = tailer_mor.run_to_head()
+        mor_apply_sec = time.time() - t0
+        t0 = time.time()
+        tailer_mor.target.compact()
+        mor_compact_sec = time.time() - t0
+        n_events_mor = sum(s.get("events", 0) for s in stats_mor)
+        mor_eps = (
+            round(n_events_mor / mor_apply_sec, 1) if mor_apply_sec else 0.0
+        )
+        print(
+            f"# cdc_apply_e2e_mor: {mor_apply_sec:.1f}s apply"
+            f" (+{mor_compact_sec:.1f}s compact), {n_events_mor}"
+            f" entries, {mor_eps}/s",
+            file=sys.stderr,
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
         if os.environ.get("SPARK_GRAFT_LOCAL_DIR", "").startswith("/dev/shm/"):
@@ -238,6 +323,17 @@ def main():
                 "queries_10x": timings_10x,
                 "total_10x_sec": round(sum(timings_10x.values()), 3),
                 "docs_10x": 10,
+                # 10x-vectors ANN block (round 5, VERDICT r4 #8)
+                "queries_emb_10x": timings_emb10x,
+                "total_emb_10x_sec": round(
+                    sum(timings_emb10x.values()), 3
+                ),
+                "vectors_10x": 10,
+                # merge-on-read apply variant (round 5): delta-append
+                # hot path + one final compaction, same journal
+                "cdc_apply_e2e_mor_sec": round(mor_apply_sec, 3),
+                "cdc_mor_compact_sec": round(mor_compact_sec, 3),
+                "cdc_events_per_sec_mor": mor_eps,
                 # canonical protocol stamp: rounds are comparable IFF
                 # these match (r1 ran 1M ops — see BASELINE.md; r2+
                 # pin 4M). The 2->8-core scaling run is the separate

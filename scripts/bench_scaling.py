@@ -42,6 +42,7 @@ cpus = int(os.environ["IBMI_CPUS"])
 journal = os.environ["IBMI_JOURNAL"]
 target = os.environ["IBMI_TARGET"]
 journal_format = os.environ.get("IBMI_FORMAT", "columnar")
+merge_mode = os.environ.get("IBMI_MERGE_MODE", "cow")
 n_batches = int(os.environ.get("IBMI_BATCHES", "1"))
 total_span = int(os.environ["IBMI_SPAN"])
 
@@ -52,6 +53,7 @@ cfg = EngineConfig(
     max_entries_per_batch=total_span // n_batches + 1,
     num_buckets=32, salt_buckets=8,
     journal_format=journal_format,
+    merge_write_mode=merge_mode,
 )
 tailer = JournalTailer(spark, cfg)
 # JVM/codegen warmup before the measured window: a real cluster's
@@ -74,11 +76,13 @@ print(json.dumps({"cpus": cpus, "wall_sec": wall, "batch_sec": batch_secs,
 
 
 def run_level(
-    cpus: int, journal: str, span: int, workdir: str, fmt: str = "columnar"
+    cpus: int, journal: str, span: int, workdir: str, fmt: str = "columnar",
+    merge_mode: str = "cow",
 ) -> dict:
     env = {
         **os.environ,
         "IBMI_FORMAT": fmt,
+        "IBMI_MERGE_MODE": merge_mode,
         "IBMI_REPO": REPO,
         "IBMI_CPUS": str(cpus),
         "IBMI_JOURNAL": journal,
@@ -112,6 +116,9 @@ def main():
     n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     n_big = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     fmt = sys.argv[5] if len(sys.argv) > 5 else "columnar"
+    # optional 7th arg: merge write mode (cow default; "mor" measures
+    # the round-5 delta-append hot path under the same protocol)
+    merge_mode = sys.argv[6] if len(sys.argv) > 6 else "cow"
     assert n_big == 4 * n_small, "protocol is N vs 4N"
 
     work = tempfile.mkdtemp(prefix="ibmi_scaling_")
@@ -145,7 +152,9 @@ if {fmt!r} == "binary":
     trials: dict[int, list] = {n_small: [], n_big: []}
     for _trial in range(2):
         for cpus in (n_small, n_big):
-            trials[cpus].append(run_level(cpus, journal_dir, span, work, fmt))
+            trials[cpus].append(
+                run_level(cpus, journal_dir, span, work, fmt, merge_mode)
+            )
     for cpus in (n_small, n_big):
         shutil.rmtree(f"/dev/shm/ibmi_scaling_{os.getpid()}_{cpus}", ignore_errors=True)
     rs = max(trials[n_small], key=lambda r: r["events_per_sec_wall"])
@@ -154,6 +163,7 @@ if {fmt!r} == "binary":
     eff_batch = (rb["events_per_sec_batch"] / rs["events_per_sec_batch"]) / 4.0
     result = {
         "n_ops": n_ops,
+        "merge_mode": merge_mode,
         "levels": [n_small, n_big],
         "small": rs,
         "big": rb,
@@ -164,7 +174,8 @@ if {fmt!r} == "binary":
     if out_md:
         with open(out_md, "a") as fh:
             fh.write(
-                f"\n## Scaling run (n_ops={n_ops}, format={fmt}, ~2KB payloads, "
+                f"\n## Scaling run (n_ops={n_ops}, format={fmt}, "
+                f"merge={merge_mode}, ~2KB payloads, "
                 f"taskset-pinned local[{n_small}] vs local[{n_big}], "
                 f"2g/core, shuffle=4x cores, tmpfs shuffle dirs, "
                 f"warmed JVM [protocol v2])\n\n"

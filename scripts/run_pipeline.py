@@ -18,6 +18,11 @@ Locally the same script runs with plain ``python``. Subcommands:
 - ``tail``      plan+apply micro-batches to head (or --follow poll)
 - ``stream``    Structured Streaming mode (foreachBatch)
 - ``metrics``   print per-receiver lag metrics (A1)
+- ``health``    structured connector-health bean (per-table state /
+                watermark / lag / last_error) + health.json export
+
+``--merge-mode mor`` selects the merge-on-read sink path (delta
+appends + ``compact``) instead of copy-on-write.
 """
 
 from __future__ import annotations
@@ -43,6 +48,7 @@ def _cfg(args):
         delete_mode=args.delete_mode,
         invalid_position_policy=args.invalid_position_policy,
         journal_format=getattr(args, "journal_format", "columnar"),
+        merge_write_mode=getattr(args, "merge_mode", "cow"),
     )
 
 
@@ -58,7 +64,7 @@ def main(argv=None):
     g.add_argument("--payload-repeat", type=int, default=2)
     g.add_argument("--files", type=int, default=16)
 
-    for name in ("snapshot", "tail", "stream", "metrics", "run"):
+    for name in ("snapshot", "tail", "stream", "metrics", "run", "health"):
         s = sub.add_parser(name)
         s.add_argument("--journal", required=True)
         s.add_argument("--target", required=True)
@@ -73,6 +79,9 @@ def main(argv=None):
         s.add_argument(
             "--journal-format", default="columnar",
             choices=["columnar", "binary"],
+        )
+        s.add_argument(
+            "--merge-mode", default="cow", choices=["cow", "mor"],
         )
         if name == "tail":
             s.add_argument("--follow", action="store_true")
@@ -316,6 +325,17 @@ def main(argv=None):
         rows = [r.asDict() for r in tailer.lag_metrics().collect()]
         tput = [r.asDict() for r in tailer.throughput_metrics().collect()]
         print(json.dumps({"lag": rows, "throughput": tput}))
+        return 0
+
+    if args.cmd == "health":
+        from debezium_connector_ibmi_spark.streaming.engine import JournalTailer
+        from debezium_connector_ibmi_spark.streaming.metrics_export import (
+            write_health_json,
+        )
+
+        out_path = write_health_json(JournalTailer(spark, _cfg(args)))
+        with open(out_path) as fh:
+            print(fh.read())
         return 0
 
     return 1
