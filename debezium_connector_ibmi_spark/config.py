@@ -56,6 +56,10 @@ class EngineConfig:
     #        (one Spark job per batch, no current-state read); readers
     #        resolve by position, compact() folds deltas into a base
     merge_write_mode: str = "cow"
+    # mor housekeeping: auto-compact after this many merged batches
+    # (0 = never; compaction bounds read amplification — pending
+    # deltas per bucket never exceed this). Ignored in cow mode.
+    mor_compact_every: int = 0
     # state-path compaction strategy:
     #  "fused"  (default) max_by hash aggregation — partial map-side
     #           combine (shuffle O(keys x map_tasks), no sort,

@@ -11,10 +11,14 @@ commit pointer):
     <path>/_commits/<ver>.json                 commit metadata
     <path>/_latest                             atomic pointer (os.replace)
 
-A merge rewrites ONLY the buckets the batch touches (copy-on-write,
-partition-pruned read of the current state), records the new
-bucket->version mapping plus ``batch_id`` and per-partition
-high-watermarks in the commit, and flips the pointer last. Replayed
+Two write strategies share one commit/fence layer (constructor
+``write_mode``): copy-on-write (default) rewrites ONLY the buckets
+the batch touches (partition-pruned read of the current state), while
+merge-on-read appends the batch as immutable per-bucket DELTA files —
+one Spark job per batch, resolved per key at read time and folded
+back into a base by ``compact()``. Every commit records the
+bucket->version map (plus pending delta versions), ``batch_id`` and
+per-partition high-watermarks, and flips the pointer last. Replayed
 batches (same or older ``batch_id``) are detected at the fence and
 skipped — the exactly-once upgrade over the reference's at-least-once
 Kafka emit (As400OffsetContext.java:109-129; data-loss note

@@ -482,6 +482,17 @@ class JournalTailer:
                 self._record_error(exc, batch_id)
                 raise
             n_ranges += 1
+            # mor housekeeping: bound read amplification by folding
+            # deltas into a base every K merged batches (maintenance
+            # commit — no fence/watermark movement, crash-safe)
+            if (
+                self.cfg.mor_compact_every > 0
+                and getattr(self.target, "write_mode", "cow") == "mor"
+                and n_ranges % self.cfg.mor_compact_every == 0
+            ):
+                out[-1]["compacted"] = not self.target.compact().get(
+                    "skipped", False
+                )
         return out
 
     def _record_error(self, exc: Exception, batch_id: int) -> None:

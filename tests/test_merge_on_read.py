@@ -277,3 +277,24 @@ def test_cow_merge_consumes_pending_deltas(spark, tmpdir_path):
         )
     got = {r["url"]: r["v"] for r in t_cow.read().collect()}
     assert got == {"a": "2", "b": "1"}
+
+
+def test_mor_auto_compaction_bounds_deltas(spark, journal_path, oracle, tmpdir_path):
+    """cfg.mor_compact_every folds deltas into a base every K merged
+    batches — pending deltas per bucket stay bounded by K and the
+    final state still matches the oracle."""
+    cfg = replace(
+        _cfg(journal_path, tmpdir_path, max_entries_per_batch=150),
+        mor_compact_every=3,
+    )
+    out = JournalTailer(spark, cfg).run_to_head()
+    n_batches = sum(1 for s in out if "events" in s)
+    assert n_batches >= 6
+    assert any(s.get("compacted") for s in out)
+    t = _target(spark, cfg)
+    c = t.last_commit()
+    pending = max(
+        (len(v) for v in (c.get("deltas") or {}).values()), default=0
+    )
+    assert pending < 3 + 1, f"deltas unbounded: {pending}"
+    _assert_matches_oracle(_state(spark, cfg), oracle)
