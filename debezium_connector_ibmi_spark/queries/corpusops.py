@@ -54,7 +54,10 @@ def doc_decontaminate(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
-    return co.contamination(corpus, bench, n=_DECON_N)
+    # the benchmark slice is 1/97th of the corpus by construction —
+    # pin the broadcast instead of paying the auto-guard's count()
+    # action (the guard stays the default for unknown inputs)
+    return co.contamination(corpus, bench, n=_DECON_N, join_mode="broadcast")
 
 
 # ----------------------------------------------------------- sampling

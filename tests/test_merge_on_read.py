@@ -298,3 +298,57 @@ def test_mor_auto_compaction_bounds_deltas(spark, journal_path, oracle, tmpdir_p
     )
     assert pending < 3 + 1, f"deltas unbounded: {pending}"
     _assert_matches_oracle(_state(spark, cfg), oracle)
+
+
+def test_mor_schema_evolution_mid_deltas(spark, tmpdir_path):
+    """update_schema on a target with PENDING deltas: the transform
+    sees the RESOLVED state, the rewrite clears the deltas, and later
+    old-shape mor merges conform to the evolved schema."""
+    t = KeyBucketedTarget(
+        spark, f"{tmpdir_path}/t", key="url", num_buckets=2,
+        write_mode="mor",
+    )
+    ddl = "url string, v string, receiver_idx int, seq long, op string"
+    t.merge(
+        spark.createDataFrame(
+            [("a", "1", 0, 1, "c"), ("b", "1", 0, 2, "c")], ddl
+        ),
+        batch_id=0,
+    )
+    t.update_schema(
+        lambda df: df.withColumn("extra", F.lit(None).cast("string")),
+        version=1,
+    )
+    c = t.last_commit()
+    assert c["deltas"] == {}, "evolution rewrite must consume deltas"
+    assert any(n == "extra" for n, _ in c["schema"])
+    # old-shape merge after evolution: conform adds the new column
+    t2 = KeyBucketedTarget(
+        spark, f"{tmpdir_path}/t", key="url", num_buckets=2,
+        write_mode="mor",
+    )
+    t2.merge(
+        spark.createDataFrame([("c", "2", 0, 3, "c")], ddl), batch_id=1
+    )
+    rows = {r["url"]: r for r in t2.read().collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert all("extra" in r.asDict() for r in rows.values())
+    t2.compact()
+    assert {r["url"] for r in t2.read().collect()} == {"a", "b", "c"}
+
+
+def test_mor_structured_stream(spark, journal_path, oracle, tmpdir_path):
+    """The Structured Streaming path (foreachBatch + writer-namespaced
+    fence) over a mor target: same final state as the fold oracle,
+    commits are delta-appends (no base until compaction)."""
+    from debezium_connector_ibmi_spark.streaming.engine import (
+        run_structured_stream,
+    )
+
+    cfg = _cfg(journal_path, f"{tmpdir_path}/s", max_entries_per_batch=500)
+    q = run_structured_stream(spark, cfg, available_now=True)
+    q.awaitTermination(timeout=300)
+    t = _target(spark, cfg)
+    c = t.last_commit()
+    assert not c["buckets"] and c["deltas"], "stream wrote deltas only"
+    _assert_matches_oracle(_state(spark, cfg), oracle)

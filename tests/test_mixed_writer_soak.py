@@ -100,6 +100,9 @@ def test_mixed_writer_soak(spark, tmpdir_path):
             num_buckets=2,
             delete_mode="rewrite",
             max_entries_per_batch=rng.choice([120, 200, 400]),
+            # round-5: the same mixed-domain invariants must hold on
+            # the merge-on-read path — mode drawn per interleaving
+            merge_write_mode=rng.choice(["cow", "mor"]),
         )
         tailer = JournalTailer(spark, cfg)
         snap = IncrementalSnapshotter(
