@@ -352,3 +352,57 @@ def test_mor_structured_stream(spark, journal_path, oracle, tmpdir_path):
     c = t.last_commit()
     assert not c["buckets"] and c["deltas"], "stream wrote deltas only"
     _assert_matches_oracle(_state(spark, cfg), oracle)
+
+
+@pytest.mark.parametrize("seed,delete_mode", [(11, "drop"), (12, "rewrite")])
+def test_mor_random_batch_equivalence(spark, tmpdir_path, seed, delete_mode):
+    """Property check on adversarial batch streams (seeded): random
+    create/update/delete churn over a tiny key space — including
+    delete/reinsert cycles and cross-batch position gaps — applied to
+    a cow target and a mor target must yield identical resolved
+    state at EVERY step, and identical again after compaction."""
+    import random
+
+    rng = random.Random(seed)
+    ddl = "url string, v string, receiver_idx int, seq long, op string"
+    keys = [f"k{i}" for i in range(7)]
+    t_cow = KeyBucketedTarget(
+        spark, f"{tmpdir_path}/cow_{seed}", key="url", num_buckets=3,
+        delete_mode=delete_mode, write_mode="cow",
+    )
+    t_mor = KeyBucketedTarget(
+        spark, f"{tmpdir_path}/mor_{seed}", key="url", num_buckets=3,
+        delete_mode=delete_mode, write_mode="mor",
+    )
+
+    def snap(t):
+        df = t.read()
+        if df is None:
+            return {}
+        rows = {}
+        for r in df.collect():
+            rows[r["url"]] = (
+                r["v"],
+                r["receiver_idx"],
+                r["seq"],
+                bool(r["__deleted"]) if "__deleted" in df.columns else None,
+            )
+        return rows
+
+    seq = 0
+    for batch_id in range(6):
+        n = rng.randint(1, 5)
+        chosen = rng.sample(keys, n)
+        rows = []
+        for k in chosen:
+            op = rng.choice(["c", "u", "u", "d"])
+            seq += rng.randint(1, 3)
+            rows.append(
+                (k, None if op == "d" else f"v{batch_id}", 0, seq, op)
+            )
+        batch = spark.createDataFrame(rows, ddl)
+        t_cow.merge(batch, batch_id=batch_id)
+        t_mor.merge(batch, batch_id=batch_id)
+        assert snap(t_cow) == snap(t_mor), f"diverged at batch {batch_id}"
+    t_mor.compact()
+    assert snap(t_cow) == snap(t_mor), "diverged after compaction"
