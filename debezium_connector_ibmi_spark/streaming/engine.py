@@ -717,6 +717,15 @@ def run_structured_stream(
         )
         if cache:
             batch.unpersist()
+        # mor housekeeping parity with run_to_head: bound read
+        # amplification on long streams (epoch ids are monotone, so
+        # the cadence holds across restarts too)
+        if (
+            cfg.mor_compact_every > 0
+            and getattr(target, "write_mode", "cow") == "mor"
+            and (epoch_id + 1) % cfg.mor_compact_every == 0
+        ):
+            target.compact()
 
     stream = read_journal_stream(
         spark, cfg.journal_path, journal_format=cfg.journal_format

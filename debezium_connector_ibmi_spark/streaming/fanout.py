@@ -189,4 +189,12 @@ class MultiTableTailer:
                 }
             )
             n_ranges += 1
+            # mor housekeeping parity with JournalTailer.run_to_head
+            if (
+                self.cfg.mor_compact_every > 0
+                and n_ranges % self.cfg.mor_compact_every == 0
+            ):
+                for tl in self.tailers.values():
+                    if getattr(tl.target, "write_mode", "cow") == "mor":
+                        tl.target.compact()
         return out

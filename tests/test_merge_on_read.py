@@ -406,3 +406,25 @@ def test_mor_random_batch_equivalence(spark, tmpdir_path, seed, delete_mode):
         assert snap(t_cow) == snap(t_mor), f"diverged at batch {batch_id}"
     t_mor.compact()
     assert snap(t_cow) == snap(t_mor), "diverged after compaction"
+
+
+def test_mor_stream_auto_compaction(spark, journal_path, oracle, tmpdir_path):
+    """Streaming parity for mor housekeeping: with mor_compact_every
+    set, epochs fold deltas on cadence — pending deltas stay bounded
+    and the final state still matches the oracle."""
+    from debezium_connector_ibmi_spark.streaming.engine import (
+        run_structured_stream,
+    )
+
+    cfg = replace(
+        _cfg(journal_path, f"{tmpdir_path}/sc", max_entries_per_batch=200),
+        mor_compact_every=1,
+    )
+    q = run_structured_stream(spark, cfg, available_now=True)
+    q.awaitTermination(timeout=300)
+    t = _target(spark, cfg)
+    c = t.last_commit()
+    assert c["buckets"], "compaction wrote a base"
+    pending = sum(len(v) for v in (c.get("deltas") or {}).values())
+    assert pending == 0, f"cadence=1 must leave no pending deltas: {pending}"
+    _assert_matches_oracle(_state(spark, cfg), oracle)
