@@ -428,3 +428,40 @@ def test_mor_stream_auto_compaction(spark, journal_path, oracle, tmpdir_path):
     pending = sum(len(v) for v in (c.get("deltas") or {}).values())
     assert pending == 0, f"cadence=1 must leave no pending deltas: {pending}"
     _assert_matches_oracle(_state(spark, cfg), oracle)
+
+
+def test_mor_read_resolution_plan_shape(spark, tmpdir_path):
+    """Scale contract of the mor read path: base+delta resolution is a
+    single partial-combining max_by aggregation — exactly ONE shuffle
+    exchange over the unioned files, no join and no window. (Buckets
+    with no deltas never reach this path: they keep the bare-scan fast
+    path, asserted below.)"""
+    import re
+
+    t = KeyBucketedTarget(
+        spark, f"{tmpdir_path}/t", key="url", num_buckets=4,
+        write_mode="mor",
+    )
+    ddl = "url string, v string, receiver_idx int, seq long, op string"
+    t.merge(
+        spark.createDataFrame(
+            [("a", "1", 0, 1, "c"), ("b", "1", 0, 2, "c")], ddl
+        ),
+        batch_id=0,
+    )
+    t.merge(spark.createDataFrame([("a", "2", 0, 3, "u")], ddl), batch_id=1)
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    p = plan(t.read())
+    shuffles = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", p))
+    assert len(shuffles) == 1, f"resolution must be one exchange: {shuffles}"
+    assert "partial_max_by" in p, "map-side partial combine missing"
+    assert "Join" not in p and "Window" not in p
+    # compacted table: resolution disappears — bare scan again
+    t.compact()
+    p2 = plan(t.read())
+    assert "Exchange" not in p2 and "max_by" not in p2
