@@ -152,3 +152,47 @@ def bigint_from_text(col: Column | str) -> Column:
     JournalInfoRetrieval.java:419-423)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(c).cast("long")
+
+
+# --- C14: XA transaction decode ------------------------------------------
+XA_SRCDTA_LEN = 80
+XA_RECORD_LEN = 4 + 4 + XA_SRCDTA_LEN
+
+
+def _be_int32(blob: Column, offset) -> Column:
+    """Signed big-endian int32 at byte ``offset`` (0-based) of a
+    binary column, pure Catalyst (hex -> conv base16 -> sign-fold),
+    mirroring AS400Bin4.toObject."""
+    off = F.lit(offset) if isinstance(offset, int) else offset
+    u = F.conv(F.hex(F.substring(blob, off + 1, 4)), 16, 10).cast("long")
+    return (
+        F.when(u >= F.lit(1 << 31), u - F.lit(1 << 32)).otherwise(u)
+    ).cast("int")
+
+
+def decode_xa_transaction(
+    col: Column | str, offset: int = 0, ccsid: int = 37
+) -> Column:
+    """C14: XA transaction entry decode
+    (XaTransactionDecoder.java:14-40). Wire layout is an
+    ``AS400Structure`` of Bin4 ``SRCDAT``, Bin4 ``SRCSEQ`` and
+    Text(80) ``SRCDTA``: two big-endian int32s followed by an
+    80-byte fixed-width EBCDIC text field (blank-padded; the XID
+    branch data per the reference's XIDDATASIZE comment). Integers
+    decode pure-Catalyst; the text field goes through the same
+    CCSID codec path as C6 and is right-trimmed like the
+    fixed-width protocol fields (StringHelpers.safeTrim).
+
+    Returns ``struct(srcdat int, srcseq int, srcdta string)``.
+    (The reference's own ``decode`` indexes ``os[3]`` on a 3-slot
+    struct — a latent bug it never hits because no caller decodes
+    XA entries for the webtext payload; we pin the documented
+    3-field layout instead.)
+    """
+    blob = F.col(col) if isinstance(col, str) else col
+    srcdta_bytes = F.substring(blob, offset + 9, XA_SRCDTA_LEN)
+    return F.struct(
+        _be_int32(blob, offset).alias("srcdat"),
+        _be_int32(blob, offset + 4).alias("srcseq"),
+        F.rtrim(charset_decode_udf(ccsid)(srcdta_bytes)).alias("srcdta"),
+    )

@@ -4,6 +4,21 @@ the driver at sf0.01 (see __spark_entry__.py).
 
 Every query realizes a SURVEY.md §2 operator (or a training-pipeline
 op the 100 TB use-case needs) over the driver's testdata tables.
+
+The driver's correctness harness verifies at most 50 queries per
+round in registry-iteration order, so ordering IS the rotation
+policy. Round 5 replaces the fragile module-order dance with an
+explicit priority list (`_VERIFY_FIRST`): the first 50 names are
+exactly the set that MUST get a fresh driver row this round —
+(a) every query new in or changed by round-5 code,
+(b) every query whose latest driver-green row is r03 (two rounds
+    stale otherwise),
+(c) the flagship CDC set (re-verified every round by policy),
+(d) the remainder filled with bench-headline doc/corpus ops.
+Everything after position 50 is code-unchanged and r04-green, so
+nothing is ever verified only by a file older than the previous
+round. `tests/test_round5_advice.py` pins the invariants (no dupes,
+nothing unknown, changed/new queries inside the cap).
 """
 
 from __future__ import annotations
@@ -11,6 +26,7 @@ from __future__ import annotations
 from debezium_connector_ibmi_spark.queries import (
     cdc,
     corpusops,
+    discovery_ops,
     embeddingops,
     misc_ops,
     multimodalops,
@@ -19,33 +35,101 @@ from debezium_connector_ibmi_spark.queries import (
     textops,
 )
 
-# Order matters: the driver's correctness harness verifies at most 50
-# queries per round in registry-iteration order. Round-5 rotation
-# (VERDICT r4 #7 / ADVICE): the 18 queries whose last driver row is
-# r03 (relational, embeddingops, misc_ops) come back FIRST, then cdc
-# (its two r03-stale entries reordered to the module front), then
-# every module containing round-5 code changes (corpusops:
-# doc_decontaminate; multimodalops: mm_image_resize; textops: merged
-# BPE + cluster-fix queries, changed-first within the module). The
-# first 50 therefore covers all r03-stale + all r5-changed queries;
-# the rotated-out tail (parity_ops + unchanged textops) is
-# code-unchanged and r04-green — nothing is ever verified only by a
-# file older than the previous round.
 _MODULES = (
-    relational, embeddingops, misc_ops, cdc, corpusops, multimodalops,
-    textops, parity_ops,
+    relational, embeddingops, misc_ops, cdc, discovery_ops, corpusops,
+    multimodalops, textops, parity_ops,
 )
+
+# the driver verifies the first 50 registry entries each round
+DRIVER_VERIFY_CAP = 50
+
+# names that must land inside the first DRIVER_VERIFY_CAP positions
+# this round, in verification order (see module docstring)
+_VERIFY_FIRST = [
+    # (b) last green row is r03: relational(5) + embeddingops(7) +
+    # misc_ops(6)
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_topk_per_brand",
+    "rel_customers_without_orders",
+    "rel_suppliers_in_asia",
+    "emb_knn_brute_force",
+    "emb_ann_lsh_bucket",
+    "emb_cosine_near_dup_pairs",
+    "emb_ivf_topk",
+    "emb_ivf_topk_nprobe2",
+    "emb_ivf_kmeans_recall",
+    "emb_scalar_quantize",
+    "cdc_null_mask",
+    "cdc_session_count",
+    "fn_pad_trim",
+    "fn_object_split",
+    "rel_rollup_status",
+    "rel_pivot_returnflag",
+    # (a) new in round 5: C14 XA decode, S6 journal discovery,
+    # SemDeDup-style semantic dedup
+    "fn_xa_decode",
+    "cdc_journal_for_table",
+    "emb_semantic_dedup",
+    # (c) flagship CDC set (every round)
+    "cdc_last_per_key_salted",
+    "cdc_state_diff",
+    "cdc_filter_include",
+    "cdc_op_type_map",
+    "cdc_resume_predicate",
+    "cdc_last_per_key",
+    "cdc_pair_before_after",
+    "cdc_txn_group",
+    "cdc_journal_lag",
+    "cdc_event_counters",
+    "cdc_envelope_flat",
+    "cdc_snapshot_handover",
+    "cdc_quarantine_rows",
+    "cdc_changelog_materialize",
+    "cdc_state_dedup",
+    # (a) changed by round-5 code: contamination shuffle fix, pixel
+    # resample, BPE merges, dedup-cluster singleton fix
+    "doc_decontaminate",
+    "mm_image_resize",
+    "doc_token_count_bpe_merged",
+    "doc_dup_clusters",
+    "doc_dedup_keep_best",
+    # (d) bench-headline doc/corpus ops filling the cap
+    "doc_near_dup_verified",
+    "doc_lsh_near_dup_pairs",
+    "doc_minhash_signature",
+    "doc_simhash",
+    "doc_dedup_exact",
+    "doc_chunk_tokens",
+    "doc_chunk_dedup",
+    "doc_sample_stratified",
+    "fn_header_roundtrip",
+]
+
+
+def _ordered(full: dict) -> dict:
+    out = {}
+    for name in _VERIFY_FIRST:
+        # tolerate names absent from this dict (a query without an
+        # oracle is a weaker rows-only driver check); strictness for
+        # the queries dict is pinned in tests/test_round5_advice.py
+        if name in full:
+            out[name] = full[name]
+    for name, v in full.items():
+        if name not in out:
+            out[name] = v
+    return out
 
 
 def all_queries():
     out = {}
     for mod in _MODULES:
         out.update(mod.QUERIES)
-    return out
+    return _ordered(out)
 
 
 def all_oracles():
     out = {}
     for mod in _MODULES:
         out.update(mod.ORACLES)
-    return out
+    return _ordered(out)

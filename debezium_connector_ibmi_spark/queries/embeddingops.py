@@ -384,6 +384,40 @@ def emb_scalar_quantize(spark, sf_dir):
     )
 
 
+# --- SemDeDup-style semantic dedup (embedding-cluster dedup) --------------
+def emb_semantic_dedup(spark, sf_dir):
+    """Semantic deduplication in the SemDeDup shape (Abbas et al.
+    2023, public): coarse-cluster the embeddings (here the sign-LSH
+    bucket — at 100 TB this is the k-means cell id), compute pairwise
+    cosine only WITHIN a cluster, and drop every vector that has a
+    lower-id neighbor in its cluster at cosine >= the dedup
+    threshold (min-id representative policy, deterministic). The
+    survivors are the semantically-deduplicated corpus.
+
+    Scale shape: the pair comparison is bucket-local (the only
+    shuffle is the bucket hash partition); dup ids are a distinct
+    set aggregated per bucket, and the survivor filter is a
+    left_anti join on vec_id — no all-pairs stage anywhere.
+    """
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("embedding")))
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    dup_ids = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(_cosine(F.col("va"), F.col("vb")), 6) >= _NEAR_DUP_COS)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(dup_ids, "vec_id", "left_anti").select(
+        "vec_id", F.col("bucket").cast("int").alias("bucket")
+    )
+
+
 QUERIES = {
     "emb_knn_brute_force": emb_knn_brute_force,
     "emb_ann_lsh_bucket": emb_ann_lsh_bucket,
@@ -392,6 +426,7 @@ QUERIES = {
     "emb_ivf_topk_nprobe2": emb_ivf_topk_nprobe2,
     "emb_ivf_kmeans_recall": emb_ivf_kmeans_recall,
     "emb_scalar_quantize": emb_scalar_quantize,
+    "emb_semantic_dedup": emb_semantic_dedup,
 }
 
 ORACLES = {
@@ -496,6 +531,20 @@ ORACLES = {
         ) WHERE rank <= 3
     """,
 }
+
+ORACLES["emb_semantic_dedup"] = f"""
+    WITH e AS (
+        SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket
+        FROM embeddings
+    ),
+    dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_cos_sql()} >= {_NEAR_DUP_COS}
+    )
+    SELECT e.vec_id, CAST(e.bucket AS INT) AS bucket
+    FROM e WHERE e.vec_id NOT IN (SELECT vec_id FROM dups)
+"""
 
 ORACLES["emb_scalar_quantize"] = """
     WITH e AS (

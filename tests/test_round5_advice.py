@@ -100,3 +100,45 @@ def test_tailer_marker_does_not_consume_max_batches(spark, tmpdir_path):
     ranges = [o for o in out if "events" in o]
     assert len(markers) == 1
     assert len(ranges) == 1
+
+
+# --- registry verification-priority invariants (round-5 rotation) --------
+def test_registry_priority_list_is_exact_cap():
+    from debezium_connector_ibmi_spark.queries import (
+        DRIVER_VERIFY_CAP,
+        _VERIFY_FIRST,
+        all_oracles,
+        all_queries,
+    )
+
+    q = all_queries()
+    assert len(_VERIFY_FIRST) == DRIVER_VERIFY_CAP
+    assert len(set(_VERIFY_FIRST)) == DRIVER_VERIFY_CAP, "duplicate names"
+    missing = [n for n in _VERIFY_FIRST if n not in q]
+    assert not missing, f"priority list names unknown queries: {missing}"
+    # iteration order of the registry == priority list for the cap
+    assert list(q)[:DRIVER_VERIFY_CAP] == _VERIFY_FIRST
+    # oracles follow the same ordering (driver zips them)
+    o = all_oracles()
+    assert [n for n in list(o)[:DRIVER_VERIFY_CAP] if n in set(_VERIFY_FIRST)] == [
+        n for n in _VERIFY_FIRST if n in o
+    ]
+
+
+def test_registry_round5_changed_queries_inside_cap():
+    from debezium_connector_ibmi_spark.queries import _VERIFY_FIRST
+
+    round5_new_or_changed = {
+        # new operators this round
+        "fn_xa_decode",
+        "cdc_journal_for_table",
+        "emb_semantic_dedup",
+        "doc_token_count_bpe_merged",
+        # changed by round-5 code
+        "doc_decontaminate",
+        "mm_image_resize",
+        "doc_dup_clusters",
+        "doc_dedup_keep_best",
+    }
+    outside = round5_new_or_changed - set(_VERIFY_FIRST)
+    assert not outside, f"changed queries outside the driver cap: {outside}"
