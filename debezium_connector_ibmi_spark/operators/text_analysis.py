@@ -319,12 +319,28 @@ def lsh_candidate_pairs(
     melted = sig.select(
         id_col, F.explode(F.array(*bands)).alias("b")
     ).select(id_col, "b.band_idx", "b.band")
-    a = melted.select(F.col(id_col).alias("id_a"), "band_idx", "band")
-    b = melted.select(F.col(id_col).alias("id_b"), "band_idx", "band")
+    # One signature pass, one shuffle: group ids per bucket and expand
+    # pairs map-side. The former self-join shape computed the
+    # md5-per-shingle signature TWICE (Catalyst does not reuse the
+    # exchange across differently-aliased join branches) and
+    # broadcast a corpus-sized signature relation — double CPU on the
+    # dominant cost and a driver-memory cliff at scale. Pair count
+    # per bucket is quadratic in bucket size either way (the join's
+    # reducer materialized the same k^2); run exact dedup first so
+    # identical texts never share a bucket en masse.
+    buckets = (
+        melted.groupBy("band_idx", "band")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> named_struct('id_a', x, 'id_b', y))))"
+    )
     return (
-        a.join(b, ["band_idx", "band"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

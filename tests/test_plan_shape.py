@@ -139,6 +139,22 @@ def test_near_dup_verified_is_banded(spark):
     assert "band_idx" in plan, "banded candidate join missing from plan"
 
 
+def test_lsh_pairs_single_signature_pass(spark):
+    """lsh_candidate_pairs must compute the md5-per-shingle signature
+    ONCE and expand pairs from grouped buckets — the former
+    self-join shape evaluated the signature on both join branches
+    (Catalyst does not reuse differently-aliased exchanges) and
+    broadcast a corpus-sized relation (round-5 fix)."""
+    from debezium_connector_ibmi_spark.queries.textops import (
+        doc_lsh_near_dup_pairs,
+    )
+
+    plan = _plan(doc_lsh_near_dup_pairs(spark, "/root/testdata/sf0.001"))
+    assert plan.count("md5") == 1, "signature computed more than once"
+    assert "Join" not in plan, "pair expansion regressed to a join"
+    assert "BroadcastExchange" not in plan
+
+
 def test_compaction_single_shuffle(spark, journal_path):
     """Plain (unsalted) compaction = exactly one exchange over the
     events; salted = two (by design, skew trade)."""
