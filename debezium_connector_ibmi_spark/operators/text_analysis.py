@@ -422,27 +422,29 @@ def lsh_verified_near_dups(
     true Jaccard on the full shingle sets.
     """
     cand = lsh_candidate_pairs(df, id_col, text, seeds, n, rows_per_band)
-    d = df.filter(F.size(words_col(text)) >= n)
-    sh = d.select(
-        F.col(id_col), F.explode(shingles(text, n)).alias("shingle")
-    ).distinct()
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Per-doc distinct shingle SETS as map-side arrays — the verify
+    # math is then a map-side array_intersect on the joined pair, so
+    # the corpus-wide explode+distinct shuffle of the former shape
+    # (recomputed once per branch reference: sa, sb, and the two
+    # count projections) disappears entirely. Row width is bounded by
+    # doc length; rows moved are O(candidate_pairs), never the corpus.
+    sets = df.filter(F.size(words_col(text)) >= n).select(
+        F.col(id_col), F.array_distinct(shingles(text, n)).alias("sh")
     )
-    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    pa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
+    pb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))
     return (
-        inter.join(ca, "id_a")
-        .join(cb, "id_b")
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sha", "shb")).alias("inter"),
+            F.size("sha").alias("na"),
+            F.size("shb").alias("nb"),
+        )
         .filter(
             threshold_den * F.col("inter")
             >= threshold_num * (F.col("na") + F.col("nb") - F.col("inter"))
         )
-        .select("id_a", "id_b", "inter", "na", "nb")
     )

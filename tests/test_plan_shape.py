@@ -155,6 +155,21 @@ def test_lsh_pairs_single_signature_pass(spark):
     assert "BroadcastExchange" not in plan
 
 
+def test_near_dup_verify_no_shingle_explode(spark):
+    """The Jaccard verify stage must be a map-side array_intersect on
+    joined per-doc shingle SETS — the former exploded-distinct
+    shingle relation shuffled the whole corpus and was recomputed
+    once per branch reference (round-5 fix). md5 once = the LSH
+    signature is also still a single pass end-to-end."""
+    from debezium_connector_ibmi_spark.queries.textops import (
+        doc_near_dup_verified,
+    )
+
+    plan = _plan(doc_near_dup_verified(spark, "/root/testdata/sf0.001"))
+    assert "array_intersect" in plan, "verify regressed off the set path"
+    assert plan.count("md5") == 1, "signature computed more than once"
+
+
 def test_compaction_single_shuffle(spark, journal_path):
     """Plain (unsalted) compaction = exactly one exchange over the
     events; salted = two (by design, skew trade)."""
