@@ -1,0 +1,149 @@
+"""Streaming near-dup flagging (dedup-on-ingest).
+
+At 100 TB the corpus is not re-deduplicated from scratch per crawl —
+documents arrive as a stream (here: the CDC-materialized webtext
+feed) and each new document must be checked against everything ever
+ingested WITHOUT rescanning the corpus. This is the streaming
+counterpart of the batch banded-LSH pipeline
+(operators/text_analysis.py): same signature (one-hash MinHash, b×r
+banding), but bucket membership lives in checkpointed
+``applyInPandasWithState`` state keyed by ``(band_idx, band)``.
+
+Semantics (min-id representative, matching the batch star-edge shape
+used by dedup clustering): the first document ever seen in an LSH
+bucket becomes the bucket's sticky representative; every later
+document landing in that bucket is emitted as
+``(doc_id, dup_of=rep, band_idx)`` — a near-dup CANDIDATE edge (LSH
+recall, exact-verify downstream on the flagged pairs only, exactly
+like the batch path). On one micro-batch the output equals the batch
+min-id star edges per bucket; across batches and restarts the state
+is checkpointed, so a duplicate arriving hours after its original is
+still flagged — state per bucket is ONE long, so total state is
+bounded by distinct-bucket count, not corpus size.
+
+The cross-batch cache semantics mirror the reference's single-slot
+per-key caches (As400StreamingChangeEventSource.java:51,87-101) but
+persist across restarts, which the reference's in-memory map does not.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from debezium_connector_ibmi_spark.operators.text_analysis import with_minhash
+
+FLAG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dup_of", LongType()),
+        StructField("band_idx", IntegerType()),
+        StructField("band", StringType()),
+    ]
+)
+
+_REP_STATE_SCHEMA = StructType([StructField("rep_id", LongType())])
+
+
+def _flag_group(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    band_idx, band = key
+    ids: set[int] = set()
+    for pdf in pdfs:
+        ids.update(int(x) for x in pdf["doc_id"])
+    ordered = sorted(ids)
+    if state.exists:
+        (rep,) = state.get
+    else:
+        rep = ordered[0]
+        state.update((rep,))
+    dups = [i for i in ordered if i != rep]
+    if dups:
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(dups, dtype="int64"),
+                "dup_of": pd.Series([rep] * len(dups), dtype="int64"),
+                "band_idx": pd.Series([band_idx] * len(dups), dtype="int32"),
+                "band": pd.Series([band] * len(dups), dtype="object"),
+            }
+        )
+
+
+def melt_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    seeds: tuple[str, ...] = ("s0", "s1", "s2", "s3"),
+    n: int = 3,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Signature + banding shared with the batch path: one-hash
+    MinHash (md5 once per shingle), b×r bands, melted to one row per
+    (id, band_idx, band). Works on batch and streaming frames alike
+    (pure expressions)."""
+    assert len(seeds) % rows_per_band == 0
+    sig = with_minhash(df, text=text, n_hashes=len(seeds), n=n)
+    n_bands = len(seeds) // rows_per_band
+    bands = [
+        F.struct(
+            F.lit(b).cast("int").alias("band_idx"),
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"minhash_{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("band"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band")
+
+
+def near_dup_flag_stream_stateful(
+    doc_stream: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    seeds: tuple[str, ...] = ("s0", "s1", "s2", "s3"),
+    n: int = 3,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Flag near-dup candidates on a document stream, cross-batch.
+
+    Output rows: ``(doc_id, dup_of, band_idx, band)`` — one per
+    (flagged doc, colliding band). Downstream consumers either treat
+    any flag as "route to exact verification" or aggregate
+    ``collect_set(dup_of)`` per doc. A document that IS a bucket
+    representative is never flagged for that bucket.
+    """
+    melted = melt_bands(
+        doc_stream,
+        id_col=id_col,
+        text=text,
+        seeds=seeds,
+        n=n,
+        rows_per_band=rows_per_band,
+    )
+    return melted.groupBy("band_idx", "band").applyInPandasWithState(
+        _flag_group,
+        outputStructType=FLAG_SCHEMA,
+        stateStructType=_REP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

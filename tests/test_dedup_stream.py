@@ -1,0 +1,139 @@
+"""Streaming near-dup flagging (dedup-on-ingest): single-batch
+equivalence with the batch star-edge shape, cross-batch state, and
+checkpoint-restart recovery."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from debezium_connector_ibmi_spark.streaming.dedup_stream import (
+    melt_bands,
+    near_dup_flag_stream_stateful,
+)
+
+DOC_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+_T1 = "the quick brown fox jumps over the lazy dog again and again today"
+_T2 = "completely different words about spark shuffles and merge sinks"
+_T3 = "a third text mentioning journals receivers sequences and offsets"
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run_to_memory(spark, src, name, ck):
+    stream = spark.readStream.schema(DOC_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        near_dup_flag_stream_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_single_batch_equals_star_edges(spark, tmpdir_path):
+    """On one micro-batch the flags must equal the batch min-id star
+    edges per LSH bucket (the same edge shape dedup clustering
+    consumes)."""
+    rows = [(1, _T1), (2, _T1), (3, _T1), (10, _T2), (11, _T2), (20, _T3)]
+    src = f"{tmpdir_path}/docs1"
+    _write_docs(spark, src, rows)
+
+    got = _run_to_memory(spark, src, "flags1", f"{tmpdir_path}/ck1")
+    got_edges = {
+        (r["doc_id"], r["dup_of"], r["band_idx"]) for r in got.collect()
+    }
+
+    batch = spark.createDataFrame(rows, DOC_SCHEMA)
+    melted = melt_bands(batch)
+    expected = {
+        (r["doc_id"], r["rep"], r["band_idx"])
+        for r in melted.join(
+            melted.groupBy("band_idx", "band").agg(
+                F.min("doc_id").alias("rep")
+            ),
+            ["band_idx", "band"],
+        )
+        .filter(F.col("doc_id") != F.col("rep"))
+        .collect()
+    }
+    assert got_edges == expected
+    # identical texts collide in every band; reps are never flagged
+    flagged_docs = {d for d, _, _ in got_edges}
+    assert flagged_docs == {2, 3, 11}
+    assert all(rep in (1, 10) for _, rep, _ in got_edges)
+
+
+def test_cross_batch_duplicate_is_flagged(spark, tmpdir_path):
+    """A duplicate arriving in a LATER micro-batch is flagged against
+    the earlier representative — beyond what per-batch LSH sees."""
+    src = f"{tmpdir_path}/docs2"
+    _write_docs(spark, src, [(1, _T1), (10, _T2)])
+    _write_docs(spark, src, [(2, _T1), (20, _T3)])
+
+    got = _run_to_memory(spark, src, "flags2", f"{tmpdir_path}/ck2")
+    pairs = {(r["doc_id"], r["dup_of"]) for r in got.collect()}
+    assert pairs == {(2, 1)}
+
+
+def test_restart_recovers_bucket_state(spark, tmpdir_path):
+    """Representative state survives a query restart (checkpointed):
+    the duplicate ingested after the restart is flagged against the
+    pre-restart representative. The reference's in-memory caches lose
+    this (SURVEY §2.4 T1 note)."""
+    src = f"{tmpdir_path}/docs3"
+    ck = f"{tmpdir_path}/ck3"
+    out: list[pd.DataFrame] = []
+
+    def run_phase():
+        stream = spark.readStream.schema(DOC_SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            near_dup_flag_stream_stateful(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: out.append(df.toPandas()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    _write_docs(spark, src, [(7, _T1)])
+    run_phase()  # phase 1: rep=7 parked in state, nothing flagged
+    assert sum(len(p) for p in out) == 0
+
+    _write_docs(spark, src, [(8, _T1)])
+    run_phase()  # phase 2: new query, same checkpoint
+    flags = pd.concat([p for p in out if len(p)], ignore_index=True)
+    assert set(zip(flags["doc_id"], flags["dup_of"])) == {(8, 7)}
+
+
+def test_reingested_representative_not_flagged(spark, tmpdir_path):
+    """Idempotent re-ingest: the representative document re-arriving
+    (CDC replay) is never flagged against itself."""
+    src = f"{tmpdir_path}/docs4"
+    _write_docs(spark, src, [(5, _T1)])
+    _write_docs(spark, src, [(5, _T1)])
+
+    got = _run_to_memory(spark, src, "flags4", f"{tmpdir_path}/ck4")
+    assert got.count() == 0
