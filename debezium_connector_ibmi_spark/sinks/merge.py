@@ -734,8 +734,16 @@ class KeyBucketedTarget:
         watermark: tuple[int, int] | Callable[[], tuple | None] | None = None,
         partitions: list[dict] | Callable[[], list[dict]] | None = None,
         writer_id: str | None = None,
+        touched: list[int] | None = None,
     ) -> dict:
         """Upsert a compacted batch (one row per key, with ``op``).
+
+        ``touched`` (cow only): the batch's bucket set, if the caller
+        already knows it — the tailer folds it into the action that
+        materializes its persist() via an Observation (map-side
+        collect_set, no exchange), so the sink's own discovery job is
+        skipped. Must equal the true pmod(xxhash64(key), num_buckets)
+        set; a wrong set loses rows from unread buckets.
 
         Returns stats dict. Idempotent: a replayed batch is skipped
         at the fence; re-running the *same* batch after a
@@ -776,12 +784,22 @@ class KeyBucketedTarget:
                 watermark, partitions, writer_id,
             )
 
-        touched = sorted(
-            int(r["bucket"])
-            for r in batch.select(self._bucket_col(F.col(self.key)).alias("bucket"))
-            .distinct()
-            .collect()
-        )
+        if touched is None:
+            # structurally required before the write: cow reads the
+            # current state of exactly these buckets to combine (the
+            # read cannot be made lazy on a not-yet-run action), so a
+            # caller that didn't precompute the set pays one discovery
+            # job here. Key-column-only scan + tiny exchange.
+            touched = sorted(
+                int(r["bucket"])
+                for r in batch.select(
+                    self._bucket_col(F.col(self.key)).alias("bucket")
+                )
+                .distinct()
+                .collect()
+            )
+        else:
+            touched = sorted(int(b) for b in touched)
 
         # position-aware merge: winner per key is the row with the
         # greatest (receiver_idx, seq); batch beats state on ties

@@ -51,6 +51,44 @@ from debezium_connector_ibmi_spark.sources.journal_source import read_journal
 # reverts from Observation conditional aggregates to its own job
 LINEAGE_OBSERVE_MAX_RECEIVERS = 64
 
+# fold the cow sink's touched-bucket discovery into the action that
+# materializes the batch cache (Observation collect_set — map-side, no
+# exchange). False reverts to the sink's own distinct+collect job.
+TOUCHED_BUCKETS_VIA_OBSERVE = True
+
+
+def _fill_cache_collect_touched(batch, target) -> list[int] | None:
+    """Materialize a persisted cow batch and return its bucket set.
+
+    The cache needs SOME first action before the merge write; ride the
+    touched-bucket discovery on it as a map-side ``collect_set``
+    Observation so the sink can skip its own ``distinct().collect()``
+    (one exchange / one scheduling stage fewer per micro-batch — the
+    same trick as ``_observe_lineage``). The action is a noop-format
+    write: the one action shape that is a single job/stage (count()
+    shuffles to one partition and AQE splits it into two jobs) and
+    still fires observations. Driver state is bounded: the set size is
+    <= target.num_buckets. Returns None (sink falls back to its own
+    discovery) when disabled or when the metrics row is unavailable.
+    """
+    if not TOUCHED_BUCKETS_VIA_OBSERVE:
+        return None
+    if not (hasattr(target, "_bucket_col") and hasattr(target, "key")):
+        return None  # custom target: let it do its own discovery
+    from pyspark.sql import Observation
+
+    bobs = Observation()
+    batch.observe(
+        bobs,
+        F.collect_set(target._bucket_col(F.col(target.key))).alias(
+            "touched"
+        ),
+    ).write.format("noop").mode("overwrite").save()
+    m = _observation_metrics(bobs)
+    if m is None:
+        return None
+    return [int(b) for b in m["touched"]]
+
 
 def _observation_metrics(obs) -> dict | None:
     """Bounded resolution of a PySpark Observation: the metrics dict
@@ -330,24 +368,31 @@ class JournalTailer:
                 import shutil
 
                 shutil.rmtree(qpath, ignore_errors=True)
-        # persist: the cow sink takes 2 actions over the batch (bucket
-        # discovery + merge write); without this the whole decode
+        # persist: the cow sink takes 2 actions over the batch (cache
+        # materialization + merge write); without this the whole decode
         # pipeline would re-execute per action. The mor sink's write
         # IS its only action — caching would be pure overhead.
         batch = prepare_batch(sliced_obs, self.cfg)
         cache = getattr(self.target, "write_mode", "cow") == "cow"
+        touched = None
         if cache:
             batch = batch.persist()
+            touched = _fill_cache_collect_touched(batch, self.target)
+        merge_kwargs = {} if touched is None else {"touched": touched}
         stats = self.target.merge(
             batch,
             batch_id=batch_id,
             watermark=(rng.end.receiver_idx, rng.end.seq),
             partitions=lineage,  # callable: resolved after the write
+            **merge_kwargs,
         )
         if cache:
             batch.unpersist()
         if stats.get("skipped"):
-            part_rows = []  # no action ran; the observation never fired
+            # fenced replay: nothing was applied (the cache-fill action
+            # may have fired the observation, but the counts describe
+            # rows that were NOT merged)
+            part_rows = []
         else:
             part_rows = lineage()
         n_events = sum(p["events_applied"] for p in part_rows)
@@ -683,8 +728,12 @@ def run_structured_stream(
         # mor sink's single write action needs no cache
         cache = getattr(target, "write_mode", "cow") == "cow"
         batch = prepare_batch(observed, cfg)
+        touched = None
         if cache:
             batch = batch.persist()
+            # fires the watermark Observation above too (it sits below
+            # prepare_batch in the observed plan)
+            touched = _fill_cache_collect_touched(batch, target)
 
         def wm_provider():
             # bounded probe, never a blocking obs.get: a sink commit
@@ -709,11 +758,13 @@ def run_structured_stream(
         # mid-run would leave it ahead of unmerged entries and the
         # tailer would skip them. Stream restarts resume from the
         # Spark checkpoint, not the sink watermark.
+        merge_kwargs = {} if touched is None else {"touched": touched}
         target.merge(
             batch,
             batch_id=epoch_id,
             watermark=wm_provider,
             writer_id=_stream_writer_id(),
+            **merge_kwargs,
         )
         if cache:
             batch.unpersist()
