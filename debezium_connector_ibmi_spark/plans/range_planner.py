@@ -39,6 +39,11 @@ class PositionRange:
 
     start: Position
     end: Position
+    # planner's upper bound on entries in the range (seq-span budget
+    # consumed); None when the range was built without a plan. Lets
+    # the engine pick per-batch strategies (e.g. whether touched-
+    # bucket discovery should ride the cache fill) without an action.
+    est_entries: int | None = None
 
     def predicate(self) -> Column:
         r, s = F.col("receiver_idx"), F.col("seq")
@@ -222,4 +227,6 @@ def plan_next_range(
         end = Position(ridx, hi)
     if end is None:
         return None
-    return PositionRange(start=start, end=end)
+    return PositionRange(
+        start=start, end=end, est_entries=max_entries - budget
+    )

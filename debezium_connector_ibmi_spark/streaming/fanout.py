@@ -174,6 +174,9 @@ class MultiTableTailer:
                     sub = PositionRange(
                         start=Position(wm[0], wm[1], processed=True),
                         end=rng.end,
+                        # per-table slice of the planned range: the
+                        # plan's span bound still upper-bounds it
+                        est_entries=rng.est_entries,
                     )
                     batch_id = tailer.target.last_batch_id() + 1
                     results[table] = tailer.process_range(sliced, sub, batch_id)
