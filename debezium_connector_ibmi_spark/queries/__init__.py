@@ -67,10 +67,12 @@ _VERIFY_FIRST = [
     "rel_rollup_status",
     "rel_pivot_returnflag",
     # (a) new in round 5: C14 XA decode, S6 journal discovery,
-    # SemDeDup-style semantic dedup
+    # SemDeDup-style semantic dedup, streaming dedup-on-ingest
+    # (single-batch == batch star edges, so SQL-expressible)
     "fn_xa_decode",
     "cdc_journal_for_table",
     "emb_semantic_dedup",
+    "doc_stream_near_dup_verified",
     # (c) flagship CDC set (every round)
     "cdc_last_per_key_salted",
     "cdc_state_diff",
@@ -102,7 +104,6 @@ _VERIFY_FIRST = [
     "doc_dedup_exact",
     "doc_chunk_tokens",
     "doc_chunk_dedup",
-    "doc_sample_stratified",
     "fn_header_roundtrip",
 ]
 

@@ -241,6 +241,50 @@ def doc_near_dup_verified(spark, sf_dir):
     )
 
 
+def doc_stream_near_dup_verified(spark, sf_dir):
+    """Streaming dedup-on-ingest, driver-verifiable: the documents
+    table ingested as ONE availableNow micro-batch through the
+    checkpointed LSH-bucket stateful op
+    (streaming/dedup_stream.py:near_dup_flag_stream_stateful), then
+    the flagged candidate edges exact-Jaccard-verified against the
+    corpus store (verify_flags). On a single micro-batch the flag set
+    equals the per-bucket min-id star edges, so the whole streaming
+    pipeline is SQL-expressible — the cross-batch/restart semantics
+    beyond that are pinned by tests/test_dedup_stream.py."""
+    import tempfile
+
+    from debezium_connector_ibmi_spark.streaming.dedup_stream import (
+        near_dup_flag_stream_stateful,
+        verify_flags,
+    )
+
+    import os
+
+    docs = _docs(spark, sf_dir)
+    # the streaming file source wants a DIRECTORY; the testdata table
+    # is a single parquet file — expose it through a symlinked dir
+    src = tempfile.mkdtemp(prefix="ndsv_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
+        f"{src}/documents.parquet",
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    ck = tempfile.mkdtemp(prefix="ndsv_ck_")
+    name = f"ndsv_{ck.rsplit('_', 1)[-1]}"
+    q = (
+        near_dup_flag_stream_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=600)
+    flags = spark.table(name).select("doc_id", "dup_of").distinct()
+    return verify_flags(flags, docs, threshold_num=3, threshold_den=10)
+
+
 def doc_ngram_jaccard_pairs(spark, sf_dir):
     """All-pairs exhaustive Jaccard — ground-truth/oracle mode (the
     scale path is doc_near_dup_verified). Kept as a contract query so
@@ -395,6 +439,7 @@ QUERIES = {
     "doc_dup_clusters": doc_dup_clusters,
     "doc_dedup_keep_best": doc_dedup_keep_best,
     "doc_near_dup_verified": doc_near_dup_verified,
+    "doc_stream_near_dup_verified": doc_stream_near_dup_verified,
     "doc_lsh_near_dup_pairs": doc_lsh_near_dup_pairs,
     "doc_scrub_control_chars": doc_scrub_control_chars,
     "doc_chunk_tokens": doc_chunk_tokens,
@@ -605,6 +650,57 @@ ORACLES = {
         JOIN counts ca ON ca.doc_id = doc_a
         JOIN counts cb ON cb.doc_id = doc_b
         WHERE 10 * inter >= 3 * (ca.n_sh + cb.n_sh - inter)
+    """,
+    # single-batch streaming dedup == per-bucket min-id star edges
+    # (sticky representative), then the same exact-Jaccard verify
+    "doc_stream_near_dup_verified": f"""
+        WITH sig AS ({_MINHASH_SQL}),
+        m AS (
+            SELECT doc_id, 0 AS band_idx,
+                   minhash_0 || '|' || minhash_1 AS band FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band_idx,
+                   minhash_2 || '|' || minhash_3 AS band FROM sig
+        ), rep AS (
+            SELECT band_idx, band, min(doc_id) AS dup_of
+            FROM m GROUP BY 1, 2
+        ), flags AS (
+            SELECT DISTINCT m.doc_id, r.dup_of
+            FROM m JOIN rep r
+              ON m.band_idx = r.band_idx AND m.band = r.band
+            WHERE m.doc_id <> r.dup_of
+        ), w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ), pos AS (
+            SELECT doc_id, unnest(words) AS word,
+                   generate_subscripts(words, 1) AS p
+            FROM w
+        ), sh0 AS (
+            SELECT doc_id,
+                   word || ' ' || lead(word, 1) OVER win || ' ' ||
+                   lead(word, 2) OVER win AS shingle,
+                   p, count(*) OVER (PARTITION BY doc_id) AS n_words
+            FROM pos
+            WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+            QUALIFY p <= n_words - 2
+        ), sh AS (
+            SELECT DISTINCT doc_id, shingle FROM sh0
+        ), counts AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT f.doc_id, f.dup_of, count(*) AS inter
+            FROM flags f
+            JOIN sh a ON a.doc_id = f.doc_id
+            JOIN sh b ON b.doc_id = f.dup_of AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_id, i.dup_of, i.inter,
+               ca.n_sh AS na, cb.n_sh AS nb
+        FROM inter i
+        JOIN counts ca ON ca.doc_id = i.doc_id
+        JOIN counts cb ON cb.doc_id = i.dup_of
+        WHERE 10 * i.inter >= 3 * (ca.n_sh + cb.n_sh - i.inter)
     """,
     "doc_ngram_jaccard_pairs": _JACCARD_SQL,
     "doc_dup_clusters": None,  # filled below (shared CTE chain)

@@ -116,6 +116,59 @@ def melt_bands(
     ).select("doc_id", "b.band_idx", "b.band")
 
 
+def verify_flags(
+    flags: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Exact-Jaccard verification of near-dup flags against the corpus
+    store — the streaming counterpart of the batch verify stage in
+    :func:`~debezium_connector_ibmi_spark.operators.text_analysis.lsh_verified_near_dups`.
+
+    ``flags`` are (doc_id, dup_of[, ...]) candidate edges from
+    :func:`near_dup_flag_stream_stateful`; ``corpus`` is the
+    materialized document store (e.g. the CDC merge target) holding
+    both endpoints' texts. Join shape: flags × per-doc distinct
+    shingle SETS on each endpoint, then a map-side ``array_intersect``
+    — rows moved are O(flagged pairs), never the corpus. Works on a
+    streaming ``flags`` frame too (two stream-static equi-joins,
+    append-safe); cache the corpus side then, or Spark re-scans it
+    per micro-batch. Pair dedup across bands is the caller's choice
+    (``dropDuplicates`` per batch inside ``foreachBatch``); integer
+    threshold: keep pairs with jaccard >= num/den.
+    """
+    from debezium_connector_ibmi_spark.operators.text_analysis import (
+        shingles,
+        words_col,
+    )
+
+    sets = corpus.filter(F.size(words_col(text)) >= n).select(
+        F.col(id_col), F.array_distinct(shingles(text, n)).alias("sh")
+    )
+    pa = sets.select(F.col(id_col).alias("doc_id"), F.col("sh").alias("sha"))
+    pb = sets.select(F.col(id_col).alias("dup_of"), F.col("sh").alias("shb"))
+    return (
+        flags.select("doc_id", "dup_of")
+        .join(pa, "doc_id")
+        .join(pb, "dup_of")
+        .select(
+            "doc_id",
+            "dup_of",
+            F.size(F.array_intersect("sha", "shb")).alias("inter"),
+            F.size("sha").alias("na"),
+            F.size("shb").alias("nb"),
+        )
+        .filter(
+            threshold_den * F.col("inter")
+            >= threshold_num * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+    )
+
+
 def near_dup_flag_stream_stateful(
     doc_stream: DataFrame,
     id_col: str = "doc_id",
