@@ -137,3 +137,66 @@ def test_reingested_representative_not_flagged(spark, tmpdir_path):
 
     got = _run_to_memory(spark, src, "flags4", f"{tmpdir_path}/ck4")
     assert got.count() == 0
+
+
+def test_verify_flags_stream_static(spark, tmpdir_path):
+    """verify_flags composes onto the STREAMING flags frame (two
+    stream-static equi-joins, append mode): near-identical texts pass
+    exact-Jaccard verification, an unrelated LSH collision would not.
+    Also pins the batch-path equivalence: the streamed verified pairs
+    equal verify_flags applied to the batch star edges."""
+    from debezium_connector_ibmi_spark.streaming.dedup_stream import (
+        verify_flags,
+    )
+
+    rows = [(1, _T1), (2, _T1), (3, _T2), (4, _T2 + " extra"), (9, _T3)]
+    src = f"{tmpdir_path}/docs5"
+    _write_docs(spark, src, rows)
+    corpus = spark.createDataFrame(rows, DOC_SCHEMA)
+
+    stream = spark.readStream.schema(DOC_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    verified = verify_flags(
+        near_dup_flag_stream_stateful(stream), corpus
+    )
+    assert verified.isStreaming
+    q = (
+        verified.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("verified5")
+        .option("checkpointLocation", f"{tmpdir_path}/ck5")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    got = {
+        (r["doc_id"], r["dup_of"])
+        for r in spark.sql(
+            "SELECT DISTINCT doc_id, dup_of FROM verified5"
+        ).collect()
+    }
+    # identical pair verifies; doc 4 (prefix overlap with 3) passes the
+    # 3/10 threshold; nothing pairs with the unrelated doc 9
+    assert (2, 1) in got
+    assert all(9 not in pair for pair in got)
+    for d, r in got:
+        assert {d, r} in ({1, 2}, {3, 4})
+
+    batch_edges = (
+        melt_bands(corpus)
+        .join(
+            melt_bands(corpus)
+            .groupBy("band_idx", "band")
+            .agg(F.min("doc_id").alias("dup_of")),
+            ["band_idx", "band"],
+        )
+        .filter(F.col("doc_id") != F.col("dup_of"))
+        .select("doc_id", "dup_of")
+        .distinct()
+    )
+    batch_verified = {
+        (r["doc_id"], r["dup_of"])
+        for r in verify_flags(batch_edges, corpus).collect()
+    }
+    assert got == batch_verified
