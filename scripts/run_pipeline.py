@@ -20,6 +20,10 @@ Locally the same script runs with plain ``python``. Subcommands:
 - ``metrics``   print per-receiver lag metrics (A1)
 - ``health``    structured connector-health bean (per-table state /
                 watermark / lag / last_error) + health.json export
+- ``dedup-stream``  dedup-on-ingest: stream a (doc_id, text) corpus
+                through the checkpointed LSH stateful op; append
+                near-dup flags (``--verify-corpus`` exact-verifies
+                them) to parquet
 
 ``--merge-mode mor`` selects the merge-on-read sink path (delta
 appends + ``compact``) instead of copy-on-write.
@@ -134,6 +138,17 @@ def main(argv=None):
     rs.add_argument("--target", required=True)
     rs.add_argument("--to-buckets", type=int, required=True)
 
+    # dedup-on-ingest (LLM-pipeline side): stream a (doc_id, text)
+    # corpus dir through the checkpointed LSH-bucket stateful op,
+    # append candidate flags (optionally exact-verified) to parquet
+    dd = sub.add_parser("dedup-stream")
+    dd.add_argument("--source", required=True)
+    dd.add_argument("--flags-out", required=True)
+    dd.add_argument("--checkpoint", required=True)
+    dd.add_argument("--verify-corpus", default="")
+    dd.add_argument("--max-files-per-trigger", type=int, default=64)
+    dd.add_argument("--once", action="store_true")
+
     args = p.parse_args(argv)
 
     from debezium_connector_ibmi_spark.session import get_spark
@@ -194,6 +209,58 @@ def main(argv=None):
                     "schema_declared": out["schema_declared"],
                     "watermark": list(out["watermark"]),
                     "batches": len(out["batches"]),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "dedup-stream":
+        from debezium_connector_ibmi_spark.streaming.dedup_stream import (
+            near_dup_flag_stream_stateful,
+            verify_flags,
+        )
+
+        schema = spark.read.parquet(args.source).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", args.max_files_per_trigger)
+            .parquet(args.source)
+        )
+        flags = near_dup_flag_stream_stateful(stream)
+        if args.verify_corpus:
+            corpus = spark.read.parquet(args.verify_corpus).cache()
+
+            def _verify_batch(df, epoch_id):
+                verify_flags(
+                    df.dropDuplicates(["doc_id", "dup_of"]), corpus
+                ).write.mode("append").parquet(args.flags_out)
+
+            writer = flags.writeStream.outputMode("append").foreachBatch(
+                _verify_batch
+            )
+        else:
+            writer = (
+                flags.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", args.flags_out)
+            )
+        writer = writer.option("checkpointLocation", args.checkpoint)
+        if args.once:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        else:
+            q = writer.start()
+            q.awaitTermination()
+        try:
+            n = spark.read.parquet(args.flags_out).count()
+        except Exception:
+            n = 0  # no duplicates flagged -> sink dir never created
+        print(
+            json.dumps(
+                {
+                    "flags_out": args.flags_out,
+                    "rows": n,
+                    "verified": bool(args.verify_corpus),
                 }
             )
         )
