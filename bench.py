@@ -209,6 +209,18 @@ def main():
     finally:
         shutil.rmtree(worke, ignore_errors=True)
 
+    # --- streaming dedup-on-ingest (round 5): the full stateful
+    # pipeline (availableNow ingest -> LSH bucket state -> exact
+    # verify) at sf0.1; separate key, NOT in `value` ------------------
+    t0 = time.time()
+    n_stream = qs["doc_stream_near_dup_verified"](spark, SF_DIR).count()
+    stream_dedup_sec = round(time.time() - t0, 3)
+    print(
+        f"# stream/doc_stream_near_dup_verified: {stream_dedup_sec}s"
+        f" ({n_stream} rows)",
+        file=sys.stderr,
+    )
+
     # --- end-to-end CDC apply (the north-rule metric) -------------------
     work = tempfile.mkdtemp(prefix="ibmi_bench_")
     try:
@@ -329,6 +341,10 @@ def main():
                     sum(timings_emb10x.values()), 3
                 ),
                 "vectors_10x": 10,
+                # streaming dedup-on-ingest (round 5): one
+                # availableNow pass over sf0.1 documents through the
+                # checkpointed stateful op + exact verify
+                "doc_stream_near_dup_verified_sec": stream_dedup_sec,
                 # merge-on-read apply variant (round 5): delta-append
                 # hot path + one final compaction, same journal
                 "cdc_apply_e2e_mor_sec": round(mor_apply_sec, 3),
