@@ -73,6 +73,7 @@ _VERIFY_FIRST = [
     "cdc_journal_for_table",
     "emb_semantic_dedup",
     "doc_stream_near_dup_verified",
+    "emb_stream_semantic_flags",
     # (c) flagship CDC set (every round)
     "cdc_last_per_key_salted",
     "cdc_state_diff",
@@ -103,7 +104,6 @@ _VERIFY_FIRST = [
     "doc_simhash",
     "doc_dedup_exact",
     "doc_chunk_tokens",
-    "doc_chunk_dedup",
     "fn_header_roundtrip",
 ]
 

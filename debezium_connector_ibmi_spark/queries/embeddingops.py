@@ -418,6 +418,71 @@ def emb_semantic_dedup(spark, sf_dir):
     )
 
 
+def emb_stream_semantic_flags(spark, sf_dir):
+    """Streaming SemDeDup-on-ingest: embeddings arrive as a stream,
+    each new vector is checked against the sticky min-id
+    representative of its sign-LSH cell (ONE long of state per cell —
+    the same checkpointed stateful core as the text dedup stream,
+    streaming/dedup_stream.py:flag_buckets_stateful), and cell
+    collisions are cosine-verified against the corpus store. On a
+    single availableNow micro-batch the flags equal the per-cell
+    min-id star edges, so the full pipeline has a SQL oracle; the
+    cross-batch/restart semantics are the ones pinned for the shared
+    core by tests/test_dedup_stream.py.
+
+    vs the batch emb_semantic_dedup: the batch op drops a vector if
+    ANY lower-id cell-mate is similar; the on-ingest op flags against
+    the cell REPRESENTATIVE only (state stays one vector-id per cell
+    instead of the whole cell history — the scale contract).
+    """
+    import os
+    import tempfile
+
+    from debezium_connector_ibmi_spark.streaming.dedup_stream import (
+        flag_buckets_stateful,
+    )
+
+    e = _emb(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="essf_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/embeddings.parquet"),
+        f"{src}/embeddings.parquet",
+    )
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    melted = stream.select(
+        F.col("vec_id").alias("doc_id"),
+        F.lit(0).cast("int").alias("band_idx"),
+        _bucket(F.col("embedding")).cast("string").alias("band"),
+    )
+    ck = tempfile.mkdtemp(prefix="essf_ck_")
+    name = f"essf_{ck.rsplit('_', 1)[-1]}"
+    q = (
+        flag_buckets_stateful(melted)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=600)
+    flags = spark.table(name).select(
+        F.col("doc_id").alias("vec_id"), "dup_of"
+    )
+    a = e.select(F.col("vec_id"), F.col("embedding").alias("va"))
+    b = e.select(
+        F.col("vec_id").alias("dup_of"), F.col("embedding").alias("vb")
+    )
+    return (
+        flags.join(a, "vec_id")
+        .join(b, "dup_of")
+        .filter(
+            F.round(_cosine(F.col("va"), F.col("vb")), 6) >= _NEAR_DUP_COS
+        )
+        .select("vec_id", "dup_of")
+    )
+
+
 QUERIES = {
     "emb_knn_brute_force": emb_knn_brute_force,
     "emb_ann_lsh_bucket": emb_ann_lsh_bucket,
@@ -427,6 +492,7 @@ QUERIES = {
     "emb_ivf_kmeans_recall": emb_ivf_kmeans_recall,
     "emb_scalar_quantize": emb_scalar_quantize,
     "emb_semantic_dedup": emb_semantic_dedup,
+    "emb_stream_semantic_flags": emb_stream_semantic_flags,
 }
 
 ORACLES = {
@@ -544,6 +610,29 @@ ORACLES["emb_semantic_dedup"] = f"""
     )
     SELECT e.vec_id, CAST(e.bucket AS INT) AS bucket
     FROM e WHERE e.vec_id NOT IN (SELECT vec_id FROM dups)
+"""
+
+# single-batch streaming SemDeDup flags == per-sign-LSH-cell min-id
+# star edges, cosine-verified (the stream's sticky representative IS
+# the cell min on one batch)
+ORACLES["emb_stream_semantic_flags"] = f"""
+    WITH e AS (
+        SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket
+        FROM embeddings
+    ),
+    rep AS (
+        SELECT bucket, min(vec_id) AS dup_of FROM e GROUP BY 1
+    ),
+    flags AS (
+        SELECT e.vec_id, r.dup_of
+        FROM e JOIN rep r ON e.bucket = r.bucket
+        WHERE e.vec_id <> r.dup_of
+    )
+    SELECT f.vec_id, f.dup_of
+    FROM flags f
+    JOIN e a ON a.vec_id = f.vec_id
+    JOIN e b ON b.vec_id = f.dup_of
+    WHERE round({_cos_sql()}, 6) >= {_NEAR_DUP_COS}
 """
 
 ORACLES["emb_scalar_quantize"] = """

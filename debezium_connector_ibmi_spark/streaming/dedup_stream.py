@@ -169,6 +169,24 @@ def verify_flags(
     )
 
 
+def flag_buckets_stateful(melted: DataFrame) -> DataFrame:
+    """The generic dedup-on-ingest core: a ``(doc_id, band_idx,
+    band)`` bucket-membership frame (batch or streaming) → sticky
+    min-id-representative candidate flags with cross-batch
+    checkpointed state. Any bucketing plugs in — text banded-MinHash
+    (:func:`melt_bands`), embedding sign-LSH cells (SemDeDup-shape;
+    ``queries/embeddingops.py:emb_stream_semantic_flags``), or an
+    exact-hash single band.
+    """
+    return melted.groupBy("band_idx", "band").applyInPandasWithState(
+        _flag_group,
+        outputStructType=FLAG_SCHEMA,
+        stateStructType=_REP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def near_dup_flag_stream_stateful(
     doc_stream: DataFrame,
     id_col: str = "doc_id",
@@ -193,10 +211,4 @@ def near_dup_flag_stream_stateful(
         n=n,
         rows_per_band=rows_per_band,
     )
-    return melted.groupBy("band_idx", "band").applyInPandasWithState(
-        _flag_group,
-        outputStructType=FLAG_SCHEMA,
-        stateStructType=_REP_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    return flag_buckets_stateful(melted)
