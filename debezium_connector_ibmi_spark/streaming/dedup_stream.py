@@ -187,6 +187,25 @@ def flag_buckets_stateful(melted: DataFrame) -> DataFrame:
     )
 
 
+def exact_dup_flag_stream(
+    doc_stream: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Exact-duplicate flagging on ingest: one md5 band per document
+    through the generic stateful core — the streaming counterpart of
+    ``operators/text_analysis.py:exact_dedup`` (whose keeper is also
+    the min id per fingerprint). Flags are exact by construction (no
+    verify stage); state is one long per distinct text ever seen.
+    """
+    melted = doc_stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(0).cast("int").alias("band_idx"),
+        F.md5(F.col(text)).alias("band"),
+    )
+    return flag_buckets_stateful(melted)
+
+
 def near_dup_flag_stream_stateful(
     doc_stream: DataFrame,
     id_col: str = "doc_id",

@@ -200,3 +200,45 @@ def test_verify_flags_stream_static(spark, tmpdir_path):
         for r in verify_flags(batch_edges, corpus).collect()
     }
     assert got == batch_verified
+
+
+def test_exact_dup_flag_stream(spark, tmpdir_path):
+    """Exact-dup-on-ingest via the generic core: only byte-identical
+    texts are flagged (md5 band), across micro-batches, and the
+    single-batch flags equal exact_dedup's (keeper, dup) pairs."""
+    from debezium_connector_ibmi_spark.operators.text_analysis import (
+        exact_dedup,
+    )
+    from debezium_connector_ibmi_spark.streaming.dedup_stream import (
+        exact_dup_flag_stream,
+    )
+
+    rows = [(1, _T1), (2, _T1), (3, _T1 + " changed"), (4, _T2)]
+    src = f"{tmpdir_path}/docs6"
+    _write_docs(spark, src, rows[:2])
+    _write_docs(spark, src, rows[2:])
+
+    stream = spark.readStream.schema(DOC_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        exact_dup_flag_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("exact6")
+        .option("checkpointLocation", f"{tmpdir_path}/ck6")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    got = {
+        (r["doc_id"], r["dup_of"])
+        for r in spark.sql("SELECT doc_id, dup_of FROM exact6").collect()
+    }
+    assert got == {(2, 1)}  # near-identical doc 3 is NOT an exact dup
+
+    # exact_dedup returns the grouped shape (fp, n_docs, keeper); the
+    # stream's keeper for the one duplicated text must match it
+    agg = exact_dedup(spark.createDataFrame(rows, DOC_SCHEMA)).collect()
+    keepers = {r["keeper"] for r in agg if r["n_docs"] > 1}
+    assert keepers == {1}
