@@ -73,6 +73,7 @@ _VERIFY_FIRST = [
     "cdc_journal_for_table",
     "emb_semantic_dedup",
     "doc_stream_near_dup_verified",
+    "doc_stream_exact_dup",
     "emb_stream_semantic_flags",
     # (c) flagship CDC set (every round)
     "cdc_last_per_key_salted",
@@ -103,7 +104,6 @@ _VERIFY_FIRST = [
     "doc_minhash_signature",
     "doc_simhash",
     "doc_dedup_exact",
-    "doc_chunk_tokens",
     "fn_header_roundtrip",
 ]
 

@@ -285,6 +285,50 @@ def doc_stream_near_dup_verified(spark, sf_dir):
     return verify_flags(flags, docs, threshold_num=3, threshold_den=10)
 
 
+def doc_stream_exact_dup(spark, sf_dir):
+    """Exact-duplicate flagging on ingest, driver-verifiable: the
+    documents table has no byte-identical texts at test scale, so
+    duplicates are synthesized deterministically — every doc with
+    ``doc_id % 5 == 0`` re-arrives under ``doc_id + 10_000_000`` (the
+    "same page recrawled" case) — and the unioned feed is ingested as
+    ONE availableNow micro-batch through the exact md5-band stateful
+    core (streaming/dedup_stream.py:exact_dup_flag_stream). On a
+    single micro-batch the flag set equals min-id-per-fingerprint
+    star edges, so the pipeline is SQL-expressible; cross-batch /
+    restart stickiness of the representative is pinned by
+    tests/test_dedup_stream.py."""
+    import os
+    import tempfile
+
+    from debezium_connector_ibmi_spark.streaming.dedup_stream import (
+        exact_dup_flag_stream,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    feed = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    src = tempfile.mkdtemp(prefix="sxd_src_")
+    feed.write.mode("overwrite").parquet(src)
+    ck = tempfile.mkdtemp(prefix="sxd_ck_")
+    name = f"sxd_{os.path.basename(ck).rsplit('_', 1)[-1]}"
+    q = (
+        exact_dup_flag_stream(
+            spark.readStream.schema(feed.schema).parquet(src)
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=600)
+    return spark.table(name).select("doc_id", "dup_of").distinct()
+
+
 def doc_ngram_jaccard_pairs(spark, sf_dir):
     """All-pairs exhaustive Jaccard — ground-truth/oracle mode (the
     scale path is doc_near_dup_verified). Kept as a contract query so
@@ -440,6 +484,7 @@ QUERIES = {
     "doc_dedup_keep_best": doc_dedup_keep_best,
     "doc_near_dup_verified": doc_near_dup_verified,
     "doc_stream_near_dup_verified": doc_stream_near_dup_verified,
+    "doc_stream_exact_dup": doc_stream_exact_dup,
     "doc_lsh_near_dup_pairs": doc_lsh_near_dup_pairs,
     "doc_scrub_control_chars": doc_scrub_control_chars,
     "doc_chunk_tokens": doc_chunk_tokens,
@@ -701,6 +746,23 @@ ORACLES = {
         JOIN counts ca ON ca.doc_id = i.doc_id
         JOIN counts cb ON cb.doc_id = i.dup_of
         WHERE 10 * i.inter >= 3 * (ca.n_sh + cb.n_sh - i.inter)
+    """,
+    # single-batch exact-dup ingest == min-id-per-md5-fingerprint star
+    # edges over the unioned (base + recrawled-slice) feed
+    "doc_stream_exact_dup": """
+        WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, text FROM documents
+            WHERE doc_id % 5 = 0
+        ), b AS (
+            SELECT doc_id, md5(text) AS band FROM all_docs
+        ), rep AS (
+            SELECT band, min(doc_id) AS dup_of FROM b GROUP BY band
+        )
+        SELECT b.doc_id AS doc_id, r.dup_of AS dup_of
+        FROM b JOIN rep r ON b.band = r.band
+        WHERE b.doc_id <> r.dup_of
     """,
     "doc_ngram_jaccard_pairs": _JACCARD_SQL,
     "doc_dup_clusters": None,  # filled below (shared CTE chain)

@@ -133,6 +133,7 @@ def test_registry_round5_changed_queries_inside_cap():
         "fn_xa_decode",
         "cdc_journal_for_table",
         "emb_semantic_dedup",
+        "doc_stream_exact_dup",
         "doc_token_count_bpe_merged",
         # changed by round-5 code
         "doc_decontaminate",
