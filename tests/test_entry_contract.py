@@ -25,6 +25,8 @@ SUBSET = [
     "doc_minhash_signature",
     "doc_simhash",
     "emb_knn_brute_force",
+    # streaming dedup-on-ingest, exact md5-band variant (round 5)
+    "doc_stream_exact_dup",
 ]
 
 
