@@ -439,6 +439,7 @@ def emb_stream_semantic_flags(spark, sf_dir):
     import tempfile
 
     from debezium_connector_ibmi_spark.streaming.dedup_stream import (
+        await_available_now,
         flag_buckets_stateful,
     )
 
@@ -465,7 +466,7 @@ def emb_stream_semantic_flags(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout=600)
+    await_available_now(q, src, ck)
     flags = spark.table(name).select(
         F.col("doc_id").alias("vec_id"), "dup_of"
     )

@@ -56,6 +56,29 @@ FLAG_SCHEMA = StructType(
 _REP_STATE_SCHEMA = StructType([StructField("rep_id", LongType())])
 
 
+def await_available_now(q, *cleanup_dirs: str, timeout: int = 600) -> None:
+    """Drain an ``availableNow`` streaming query, or fail loudly.
+
+    ``awaitTermination(timeout=...)`` returns False on timeout — a
+    caller that ignores it reads the memory sink MID-STREAM and feeds
+    a silently partial result downstream (e.g. into the correctness
+    harness). Raise instead, and always clean up the throwaway
+    source/checkpoint dirs the registry queries create.
+    """
+    import shutil
+
+    try:
+        if not q.awaitTermination(timeout=timeout):
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {q.name!r} did not drain within "
+                f"{timeout}s — refusing to read a partial memory sink"
+            )
+    finally:
+        for d in cleanup_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _flag_group(
     key: Tuple[Any, ...],
     pdfs: Iterable[pd.DataFrame],
@@ -64,8 +87,11 @@ def _flag_group(
     band_idx, band = key
     ids: set[int] = set()
     for pdf in pdfs:
-        ids.update(int(x) for x in pdf["doc_id"])
+        # dropna: a stray null id must not NaN-kill the whole query
+        ids.update(int(x) for x in pdf["doc_id"].dropna())
     ordered = sorted(ids)
+    if not ordered:
+        return
     if state.exists:
         (rep,) = state.get
     else:
@@ -96,7 +122,12 @@ def melt_bands(
     (id, band_idx, band). Works on batch and streaming frames alike
     (pure expressions)."""
     assert len(seeds) % rows_per_band == 0
-    sig = with_minhash(df, text=text, n_hashes=len(seeds), n=n)
+    # Null ids would NaN-poison the stateful group (int(NaN) raises in
+    # _flag_group and kills the whole query); null text is already
+    # dropped by with_minhash's size(words) >= n filter.
+    sig = with_minhash(
+        df.filter(F.col(id_col).isNotNull()), text=text, n_hashes=len(seeds), n=n
+    )
     n_bands = len(seeds) // rows_per_band
     bands = [
         F.struct(
@@ -124,6 +155,7 @@ def verify_flags(
     n: int = 3,
     threshold_num: int = 3,
     threshold_den: int = 10,
+    unverified_col: str | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of near-dup flags against the corpus
     store — the streaming counterpart of the batch verify stage in
@@ -140,6 +172,14 @@ def verify_flags(
     per micro-batch. Pair dedup across bands is the caller's choice
     (``dropDuplicates`` per batch inside ``foreachBatch``); integer
     threshold: keep pairs with jaccard >= num/den.
+
+    ``unverified_col``: by default (None) the joins are inner — a flag
+    whose endpoint text is not in the corpus snapshot is DROPPED. With
+    a column name, the joins are left outer and such flags are kept
+    with that boolean column = false (inter/na/nb null) so a
+    continuous pipeline never silently loses candidate edges whose
+    texts arrive after the corpus was read; verified-but-below-
+    threshold pairs are still dropped (they are confirmed non-dups).
     """
     from debezium_connector_ibmi_spark.operators.text_analysis import (
         shingles,
@@ -151,10 +191,11 @@ def verify_flags(
     )
     pa = sets.select(F.col(id_col).alias("doc_id"), F.col("sh").alias("sha"))
     pb = sets.select(F.col(id_col).alias("dup_of"), F.col("sh").alias("shb"))
-    return (
+    how = "inner" if unverified_col is None else "left"
+    scored = (
         flags.select("doc_id", "dup_of")
-        .join(pa, "doc_id")
-        .join(pb, "dup_of")
+        .join(pa, "doc_id", how)
+        .join(pb, "dup_of", how)
         .select(
             "doc_id",
             "dup_of",
@@ -162,10 +203,15 @@ def verify_flags(
             F.size("sha").alias("na"),
             F.size("shb").alias("nb"),
         )
-        .filter(
-            threshold_den * F.col("inter")
-            >= threshold_num * (F.col("na") + F.col("nb") - F.col("inter"))
-        )
+    )
+    passed = threshold_den * F.col("inter") >= threshold_num * (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    if unverified_col is None:
+        return scored.filter(passed)
+    verified = F.col("na").isNotNull() & F.col("nb").isNotNull()
+    return scored.filter(~verified | passed).withColumn(
+        unverified_col, verified
     )
 
 
@@ -198,10 +244,17 @@ def exact_dup_flag_stream(
     the min id per fingerprint). Flags are exact by construction (no
     verify stage); state is one long per distinct text ever seen.
     """
-    melted = doc_stream.select(
-        F.col(id_col).alias("doc_id"),
-        F.lit(0).cast("int").alias("band_idx"),
-        F.md5(F.col(text)).alias("band"),
+    melted = (
+        doc_stream
+        # Null text would md5 to a null band, wrongly grouping ALL
+        # null-text docs as mutual exact dups; null ids would NaN-kill
+        # the stateful group. Drop both before the stateful groupBy.
+        .filter(F.col(id_col).isNotNull() & F.col(text).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(0).cast("int").alias("band_idx"),
+            F.md5(F.col(text)).alias("band"),
+        )
     )
     return flag_buckets_stateful(melted)
 

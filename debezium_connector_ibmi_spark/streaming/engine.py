@@ -720,6 +720,9 @@ def run_structured_stream(
         except (FileNotFoundError, KeyError, ValueError):
             return "stream-" + cfg.checkpoint_path
 
+    # adaptive fold gate: previous epoch's observed row count
+    _fold_gate = {"rows": 0}
+
     def apply_batch(df: DataFrame, epoch_id: int):
         # T12 in streaming mode: schema events in this micro-batch
         # apply before its data merge, exactly once (version fence)
@@ -735,6 +738,9 @@ def run_structured_stream(
         observed = df.observe(
             obs,
             F.max(F.struct(F.col("receiver_idx"), F.col("seq"))).alias("w"),
+            # batch size, used to gate the NEXT epoch's touched-bucket
+            # fold (see below) — rides the same observation for free
+            F.count(F.lit(1)).alias("n"),
         )
         # persist: the cow sink takes two actions over the batch; the
         # mor sink's single write action needs no cache
@@ -743,9 +749,18 @@ def run_structured_stream(
         touched = None
         if cache:
             batch = batch.persist()
-            # fires the watermark Observation above too (it sits below
-            # prepare_batch in the observed plan)
-            touched = _fill_cache_collect_touched(batch, target)
+            # Same TOUCHED_FOLD_MAX_ENTRIES economics as the tailer
+            # path: the fold only pays on small/streaming batches. A
+            # file-source micro-batch has no planner row estimate, so
+            # the gate is adaptive — the PREVIOUS epoch's observed row
+            # count (from the watermark Observation) decides; a bulk
+            # backfill pushed through the stream stops folding from
+            # its second epoch on and the sink's key-column-only
+            # discovery takes over.
+            if _fold_gate["rows"] <= TOUCHED_FOLD_MAX_ENTRIES:
+                # fires the watermark Observation above too (it sits
+                # below prepare_batch in the observed plan)
+                touched = _fill_cache_collect_touched(batch, target)
 
         def wm_provider():
             # bounded probe, never a blocking obs.get: a sink commit
@@ -780,6 +795,10 @@ def run_structured_stream(
         )
         if cache:
             batch.unpersist()
+        # feed the adaptive fold gate (bounded probe, never blocks)
+        vals = _observation_metrics(obs)
+        if vals is not None and vals.get("n") is not None:
+            _fold_gate["rows"] = int(vals["n"])
         # mor housekeeping parity with run_to_head: bound read
         # amplification on long streams (epoch ids are monotone, so
         # the cadence holds across restarts too)

@@ -228,11 +228,27 @@ def main(argv=None):
         )
         flags = near_dup_flag_stream_stateful(stream)
         if args.verify_corpus:
-            corpus = spark.read.parquet(args.verify_corpus).cache()
+            # --once drains a static snapshot: cache the corpus one
+            # time. Continuous mode re-reads it per micro-batch —
+            # endpoint texts that arrive after startup must be able to
+            # verify; any edge whose endpoint is STILL missing is
+            # written with verified=false instead of silently dropped.
+            corpus = (
+                spark.read.parquet(args.verify_corpus).cache()
+                if args.once
+                else None
+            )
 
             def _verify_batch(df, epoch_id):
+                corp = (
+                    corpus
+                    if corpus is not None
+                    else spark.read.parquet(args.verify_corpus)
+                )
                 verify_flags(
-                    df.dropDuplicates(["doc_id", "dup_of"]), corpus
+                    df.dropDuplicates(["doc_id", "dup_of"]),
+                    corp,
+                    unverified_col="verified",
                 ).write.mode("append").parquet(args.flags_out)
 
             writer = flags.writeStream.outputMode("append").foreachBatch(
