@@ -89,6 +89,9 @@ EMB_10X = [
     "emb_ivf_topk",
     "emb_ann_lsh_bucket",
     "emb_scalar_quantize",
+    # round-6: the population-bounded SemDeDup — the 10x row is the
+    # sub-quadratic-growth evidence for the cap/sub-split rewrite
+    "emb_semantic_dedup",
 ]
 
 

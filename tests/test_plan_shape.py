@@ -378,3 +378,18 @@ def test_touched_buckets_ride_cache_fill(spark, tmpdir_path):
     # the fold must also never cost MORE jobs
     assert s2 - s1 >= n_batches
     assert j1 <= j2
+
+
+def test_semantic_dedup_broadcasts_cell_mapping(spark):
+    """emb_semantic_dedup's code->cell mapping (bounded metadata,
+    <= 2^16 rows) must come back as a BROADCAST join — never a
+    corpus-wide shuffle — and the pair stage must join on the
+    population-bounded `cell`, not the raw 4-bit bucket (round-6
+    rewrite of the r5 scale-killer)."""
+    from debezium_connector_ibmi_spark.queries.embeddingops import (
+        emb_semantic_dedup,
+    )
+
+    plan = _plan(emb_semantic_dedup(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, "cell mapping not broadcast"
+    assert "cell" in plan, "pair stage not on the bounded cell"
