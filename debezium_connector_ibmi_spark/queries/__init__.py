@@ -7,18 +7,19 @@ op the 100 TB use-case needs) over the driver's testdata tables.
 
 The driver's correctness harness verifies at most 50 queries per
 round in registry-iteration order, so ordering IS the rotation
-policy. Round 5 replaces the fragile module-order dance with an
-explicit priority list (`_VERIFY_FIRST`): the first 50 names are
-exactly the set that MUST get a fresh driver row this round —
-(a) every query new in or changed by round-5 code,
-(b) every query whose latest driver-green row is r03 (two rounds
-    stale otherwise),
+policy: an explicit priority list (`_VERIFY_FIRST`, introduced round
+5) whose 50 names are exactly the set that MUST get a fresh driver
+row this round —
+(a) every query new in or changed by this round's code,
+(b) every query whose latest driver-green row is two rounds old
+    (rotated out by the previous round's cap),
 (c) the flagship CDC set (re-verified every round by policy),
 (d) the remainder filled with bench-headline doc/corpus ops.
-Everything after position 50 is code-unchanged and r04-green, so
-nothing is ever verified only by a file older than the previous
-round. `tests/test_round5_advice.py` pins the invariants (no dupes,
-nothing unknown, changed/new queries inside the cap).
+Everything after position 50 is code-unchanged and green in the
+PREVIOUS round's file, so nothing is ever verified only by a file
+older than the previous round. `tests/test_round5_advice.py` pins
+the structural invariants (no dupes, nothing unknown, changed/new
+queries inside the cap, previous-round file covers the tail).
 """
 
 from __future__ import annotations
@@ -44,37 +45,55 @@ _MODULES = (
 DRIVER_VERIFY_CAP = 50
 
 # names that must land inside the first DRIVER_VERIFY_CAP positions
-# this round, in verification order (see module docstring)
+# this round, in verification order (see module docstring). Round-6
+# rotation: (a) queries new in or changed by round-6 code, (b) the 27
+# queries whose latest green row is r04 (rotated out by round 5 —
+# they MUST refresh this round to keep the "nothing verified by a
+# file older than the previous round" invariant), (c) the flagship
+# CDC set (re-verified every round by policy), (d) the heaviest
+# bench-headline ops filling the cap. Everything after position 50 is
+# code-unchanged and r05-green.
 _VERIFY_FIRST = [
-    # (b) last green row is r03: relational(5) + embeddingops(7) +
-    # misc_ops(6)
-    "rel_pricing_summary",
-    "rel_revenue_by_nation",
-    "rel_topk_per_brand",
-    "rel_customers_without_orders",
-    "rel_suppliers_in_asia",
-    "emb_knn_brute_force",
-    "emb_ann_lsh_bucket",
-    "emb_cosine_near_dup_pairs",
-    "emb_ivf_topk",
-    "emb_ivf_topk_nprobe2",
-    "emb_ivf_kmeans_recall",
-    "emb_scalar_quantize",
-    "cdc_null_mask",
-    "cdc_session_count",
-    "fn_pad_trim",
-    "fn_object_split",
-    "rel_rollup_status",
-    "rel_pivot_returnflag",
-    # (a) new in round 5: C14 XA decode, S6 journal discovery,
-    # SemDeDup-style semantic dedup, streaming dedup-on-ingest
-    # (single-batch == batch star edges, so SQL-expressible)
-    "fn_xa_decode",
-    "cdc_journal_for_table",
+    # (a) new/changed in round 6: population-bounded SemDeDup rewrite
+    # (new cell semantics + new oracle), BPE merged count (first-ever
+    # driver oracle: recursive-CTE bpe() replay), streaming dedup
+    # queries (null filtering + await_available_now drain contract)
     "emb_semantic_dedup",
+    "doc_token_count_bpe_merged",
     "doc_stream_near_dup_verified",
     "doc_stream_exact_dup",
     "emb_stream_semantic_flags",
+    # (b) last green row is r04: corpus ops
+    "doc_pii_scrub",
+    "doc_sample_stratified",
+    "doc_length_histogram",
+    "doc_chunk_dedup",
+    "doc_split_assign",
+    "doc_repetition_ratio",
+    "doc_url_normalize",
+    # (b) last green row is r04: multimodal
+    "mm_image_meta",
+    "mm_audio_features",
+    "mm_frame_sample",
+    # (b) last green row is r04: text analysis
+    "doc_scrub_control_chars",
+    "doc_chunk_tokens",
+    "doc_top_terms",
+    "doc_quality_percentiles",
+    "doc_token_count",
+    "doc_token_count_bpe",
+    "doc_quality_score",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "doc_winnow_fingerprints",
+    "doc_ngram_jaccard_pairs",
+    # (b) last green row is r04: functions + cdc planning
+    "fn_century_decode",
+    "fn_charset_decode",
+    "fn_bigint_from_text",
+    "fn_default_coalesce",
+    "cdc_usable_chain",
+    "cdc_plan_ranges",
     # (c) flagship CDC set (every round)
     "cdc_last_per_key_salted",
     "cdc_state_diff",
@@ -91,20 +110,10 @@ _VERIFY_FIRST = [
     "cdc_quarantine_rows",
     "cdc_changelog_materialize",
     "cdc_state_dedup",
-    # (a) changed by round-5 code: contamination shuffle fix, pixel
-    # resample, BPE merges, dedup-cluster singleton fix
-    "doc_decontaminate",
-    "mm_image_resize",
-    "doc_token_count_bpe_merged",
-    "doc_dup_clusters",
-    "doc_dedup_keep_best",
-    # (d) bench-headline doc/corpus ops filling the cap
+    # (d) heaviest bench-headline ops filling the cap
     "doc_near_dup_verified",
     "doc_lsh_near_dup_pairs",
-    "doc_minhash_signature",
-    "doc_simhash",
-    "doc_dedup_exact",
-    "fn_header_roundtrip",
+    "doc_dup_clusters",
 ]
 
 

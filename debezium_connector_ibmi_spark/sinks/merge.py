@@ -1019,4 +1019,10 @@ class KeyBucketedTarget:
             "batch_id": effective_id,
             "version": version,
             "buckets_touched": touched,
+            # max outstanding deltas over any bucket AFTER this commit
+            # — the read-amplification driver; free (driver-side dict)
+            # and the input to the delta-count compaction trigger
+            "max_bucket_deltas": max(
+                (len(v) for v in deltas_map.values()), default=0
+            ),
         }

@@ -65,6 +65,22 @@ TOUCHED_BUCKETS_VIA_OBSERVE = True
 TOUCHED_FOLD_MAX_ENTRIES = 1_000_000
 
 
+def _mor_compact_due(cfg, target, n_done: int, stats: dict) -> bool:
+    """Shared mor-compaction trigger (tailer loop + structured
+    stream): fire when any bucket's outstanding delta count reached
+    ``mor_compact_max_deltas`` (the quantity that actually bounds read
+    amplification — rides the commit's deltas map for free), or on the
+    ``mor_compact_every`` batch cadence as the blunt fallback."""
+    if getattr(target, "write_mode", "cow") != "mor":
+        return False
+    if (
+        cfg.mor_compact_max_deltas > 0
+        and stats.get("max_bucket_deltas", 0) >= cfg.mor_compact_max_deltas
+    ):
+        return True
+    return cfg.mor_compact_every > 0 and n_done % cfg.mor_compact_every == 0
+
+
 def _fill_cache_collect_touched(batch, target) -> list[int] | None:
     """Materialize a persisted cow batch and return its bucket set.
 
@@ -540,13 +556,10 @@ class JournalTailer:
                 raise
             n_ranges += 1
             # mor housekeeping: bound read amplification by folding
-            # deltas into a base every K merged batches (maintenance
-            # commit — no fence/watermark movement, crash-safe)
-            if (
-                self.cfg.mor_compact_every > 0
-                and getattr(self.target, "write_mode", "cow") == "mor"
-                and n_ranges % self.cfg.mor_compact_every == 0
-            ):
+            # deltas into a base — delta-count trigger preferred,
+            # batch cadence as fallback (maintenance commit — no
+            # fence/watermark movement, crash-safe)
+            if _mor_compact_due(self.cfg, self.target, n_ranges, out[-1]):
                 out[-1]["compacted"] = not self.target.compact().get(
                     "skipped", False
                 )
@@ -786,7 +799,7 @@ def run_structured_stream(
         # tailer would skip them. Stream restarts resume from the
         # Spark checkpoint, not the sink watermark.
         merge_kwargs = {} if touched is None else {"touched": touched}
-        target.merge(
+        mstats = target.merge(
             batch,
             batch_id=epoch_id,
             watermark=wm_provider,
@@ -799,14 +812,10 @@ def run_structured_stream(
         vals = _observation_metrics(obs)
         if vals is not None and vals.get("n") is not None:
             _fold_gate["rows"] = int(vals["n"])
-        # mor housekeeping parity with run_to_head: bound read
-        # amplification on long streams (epoch ids are monotone, so
-        # the cadence holds across restarts too)
-        if (
-            cfg.mor_compact_every > 0
-            and getattr(target, "write_mode", "cow") == "mor"
-            and (epoch_id + 1) % cfg.mor_compact_every == 0
-        ):
+        # mor housekeeping parity with run_to_head: delta-count
+        # trigger preferred, batch cadence as fallback (epoch ids are
+        # monotone, so the cadence holds across restarts too)
+        if _mor_compact_due(cfg, target, epoch_id + 1, mstats):
             target.compact()
 
     stream = read_journal_stream(

@@ -125,21 +125,46 @@ def test_registry_priority_list_is_exact_cap():
     ]
 
 
-def test_registry_round5_changed_queries_inside_cap():
+def test_registry_round6_changed_queries_inside_cap():
     from debezium_connector_ibmi_spark.queries import _VERIFY_FIRST
 
-    round5_new_or_changed = {
-        # new operators this round
-        "fn_xa_decode",
-        "cdc_journal_for_table",
+    round6_new_or_changed = {
+        # population-bounded SemDeDup rewrite (new semantics + oracle)
         "emb_semantic_dedup",
-        "doc_stream_exact_dup",
+        # first-ever driver oracle (recursive-CTE bpe() replay)
         "doc_token_count_bpe_merged",
-        # changed by round-5 code
-        "doc_decontaminate",
-        "mm_image_resize",
-        "doc_dup_clusters",
-        "doc_dedup_keep_best",
+        # streaming dedup queries: null filtering + drain contract
+        "doc_stream_near_dup_verified",
+        "doc_stream_exact_dup",
+        "emb_stream_semantic_flags",
     }
-    outside = round5_new_or_changed - set(_VERIFY_FIRST)
+    outside = round6_new_or_changed - set(_VERIFY_FIRST)
     assert not outside, f"changed queries outside the driver cap: {outside}"
+
+
+def test_registry_rotation_freshness_invariant():
+    """Nothing may be verified only by a file older than the PREVIOUS
+    round: every registry query is either inside this round's cap
+    (fresh row incoming) or has an all-three-flags green row in the
+    previous round's CORRECTNESS file."""
+    import json
+
+    from debezium_connector_ibmi_spark.queries import (
+        _VERIFY_FIRST,
+        all_queries,
+    )
+
+    prev = json.load(open("/root/repo/CORRECTNESS_r05.json"))
+    green_prev = {
+        k
+        for k, v in prev.items()
+        if v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
+    }
+    stale = [
+        name
+        for name in all_queries()
+        if name not in set(_VERIFY_FIRST) and name not in green_prev
+    ]
+    assert not stale, (
+        f"queries outside the cap without a previous-round green row: {stale}"
+    )
