@@ -257,6 +257,7 @@ def doc_stream_near_dup_verified(spark, sf_dir):
 
     from debezium_connector_ibmi_spark.streaming.dedup_stream import (
         await_available_now,
+        corpus_shingle_sets,
         near_dup_flag_stream_stateful,
         verify_flags,
     )
@@ -285,7 +286,14 @@ def doc_stream_near_dup_verified(spark, sf_dir):
     )
     await_available_now(q, src, ck)
     flags = spark.table(name).select("doc_id", "dup_of").distinct()
-    return verify_flags(flags, docs, threshold_num=3, threshold_den=10)
+    # persisted shingle sets: shingle the corpus ONCE for both verify
+    # endpoints (round-6, VERDICT r5 #6) instead of once per branch
+    return verify_flags(
+        flags,
+        sets=corpus_shingle_sets(docs),
+        threshold_num=3,
+        threshold_den=10,
+    )
 
 
 def doc_stream_exact_dup(spark, sf_dir):

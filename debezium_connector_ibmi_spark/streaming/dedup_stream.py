@@ -147,15 +147,46 @@ def melt_bands(
     ).select("doc_id", "b.band_idx", "b.band")
 
 
+def corpus_shingle_sets(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    persist: bool = True,
+) -> DataFrame:
+    """The per-doc distinct-shingle-set relation ``(id_col, sh)`` the
+    verify stage joins against — materialized ONCE per run (round-6,
+    VERDICT r5 #6). Without this, every micro-batch's verify (and
+    even a single batch's TWO endpoint branches — Catalyst does not
+    reuse differently-aliased subplans) re-shingles the whole corpus.
+    ``persist=True`` caches MEMORY_AND_DISK; call ``.unpersist()``
+    when the run ends. Per-row state is one array of n-gram strings —
+    at 100 TB persist a parquet copy instead and pass it in."""
+    from pyspark import StorageLevel
+
+    from debezium_connector_ibmi_spark.operators.text_analysis import (
+        shingles,
+        words_col,
+    )
+
+    sets = corpus.filter(F.size(words_col(text)) >= n).select(
+        F.col(id_col), F.array_distinct(shingles(text, n)).alias("sh")
+    )
+    if persist:
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    return sets
+
+
 def verify_flags(
     flags: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     id_col: str = "doc_id",
     text: str = "text",
     n: int = 3,
     threshold_num: int = 3,
     threshold_den: int = 10,
     unverified_col: str | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of near-dup flags against the corpus
     store — the streaming counterpart of the batch verify stage in
@@ -180,15 +211,16 @@ def verify_flags(
     continuous pipeline never silently loses candidate edges whose
     texts arrive after the corpus was read; verified-but-below-
     threshold pairs are still dropped (they are confirmed non-dups).
-    """
-    from debezium_connector_ibmi_spark.operators.text_analysis import (
-        shingles,
-        words_col,
-    )
 
-    sets = corpus.filter(F.size(words_col(text)) >= n).select(
-        F.col(id_col), F.array_distinct(shingles(text, n)).alias("sh")
-    )
+    ``sets``: a precomputed :func:`corpus_shingle_sets` relation —
+    pass it (persisted) for multi-batch runs so the corpus is
+    shingled once per run, not once per micro-batch per endpoint.
+    """
+    if sets is None:
+        assert corpus is not None, "pass corpus or a precomputed sets"
+        sets = corpus_shingle_sets(
+            corpus, id_col=id_col, text=text, n=n, persist=False
+        )
     pa = sets.select(F.col(id_col).alias("doc_id"), F.col("sh").alias("sha"))
     pb = sets.select(F.col(id_col).alias("dup_of"), F.col("sh").alias("shb"))
     how = "inner" if unverified_col is None else "left"
