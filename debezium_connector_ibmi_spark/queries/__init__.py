@@ -57,12 +57,17 @@ _VERIFY_FIRST = [
     # (a) new/changed in round 6: population-bounded SemDeDup rewrite
     # (new cell semantics + new oracle), BPE merged count (first-ever
     # driver oracle: recursive-CTE bpe() replay), streaming dedup
-    # queries (null filtering + await_available_now drain contract)
+    # queries (null filtering + await_available_now drain contract),
+    # exact substring dedup (NEW operator family this round —
+    # operators/substring_dedup.py)
     "emb_semantic_dedup",
     "doc_token_count_bpe_merged",
     "doc_stream_near_dup_verified",
     "doc_stream_exact_dup",
     "emb_stream_semantic_flags",
+    "doc_dup_spans",
+    "doc_dup_span_fraction",
+    "doc_substring_dedup",
     # (b) last green row is r04: corpus ops
     "doc_pii_scrub",
     "doc_sample_stratified",
@@ -110,10 +115,11 @@ _VERIFY_FIRST = [
     "cdc_quarantine_rows",
     "cdc_changelog_materialize",
     "cdc_state_dedup",
-    # (d) heaviest bench-headline ops filling the cap
-    "doc_near_dup_verified",
-    "doc_lsh_near_dup_pairs",
-    "doc_dup_clusters",
+    # (d) slots freed for the new substring-dedup family: the three
+    # bench-headline fillers (doc_near_dup_verified,
+    # doc_lsh_near_dup_pairs, doc_dup_clusters) move past the cap —
+    # code-unchanged and r05-green, so the "nothing verified by a
+    # file older than the previous round" invariant holds.
 ]
 
 

@@ -957,3 +957,128 @@ LEFT JOIN (
 
 
 ORACLES["doc_token_count_bpe_merged"] = _bpe_merged_oracle_sql()
+
+
+# -- exact substring dedup (duplicated k-token spans) ----------------
+# operators/substring_dedup.py — the Lee-et-al-2022 exact-substring
+# dedup family, window-grained for Spark (see module docstring).
+
+from debezium_connector_ibmi_spark.operators import substring_dedup as sd
+
+_SPAN_K = 8
+
+
+def doc_dup_spans(spark, sf_dir):
+    """Maximal duplicated k-token spans per doc (token-index
+    inclusive bounds): the corpus-wide exact-substring map. One
+    shuffle (gram groupBy + partition-reusing join-back), then
+    per-doc gaps-and-islands merge."""
+    return sd.dup_spans(_docs(spark, sf_dir), k=_SPAN_K)
+
+
+def doc_dup_span_fraction(spark, sf_dir):
+    """Per-doc duplicated-token budget: fraction of each doc covered
+    by corpus-duplicated k-token windows. Every doc appears (0.0 for
+    dup-free docs) — the gating metric for boilerplate share."""
+    return sd.dup_token_fraction(_docs(spark, sf_dir), k=_SPAN_K)
+
+
+def doc_substring_dedup(spark, sf_dir):
+    """Keep-one-copy substring dedup: each duplicated passage
+    survives only at its globally-first (doc_id, pos) site; later
+    occurrences are excised token-wise and the text re-joined."""
+    return sd.remove_dup_spans(_docs(spark, sf_dir), k=_SPAN_K).select(
+        "doc_id", "dedup_text"
+    )
+
+
+QUERIES["doc_dup_spans"] = doc_dup_spans
+QUERIES["doc_dup_span_fraction"] = doc_dup_span_fraction
+QUERIES["doc_substring_dedup"] = doc_substring_dedup
+
+# Shared oracle scaffolding: window sites, dup grams, dup sites.
+_SD_SITES = f"""
+w AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(t[i + 1 : i + {_SPAN_K}], ' ') AS gram
+    FROM (
+        SELECT doc_id, t, unnest(range(0, len(t) - {_SPAN_K} + 1)) AS i
+        FROM w WHERE len(t) >= {_SPAN_K}
+    )
+),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+s AS (SELECT doc_id, pos FROM g JOIN d USING (gram))
+"""
+
+_SD_SPANS = f"""
+fl AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER win IS NULL
+                     OR pos - lag(pos) OVER win > {_SPAN_K}
+                THEN 1 ELSE 0 END AS new
+    FROM s WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+sp AS (
+    SELECT doc_id, pos,
+           sum(new) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS span
+    FROM fl
+),
+spans AS (
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + {_SPAN_K - 1} AS span_end,
+           count(*) AS n_windows
+    FROM sp GROUP BY doc_id, span
+)
+"""
+
+ORACLES["doc_dup_spans"] = f"""
+WITH {_SD_SITES}, {_SD_SPANS}
+SELECT doc_id, span_start, span_end, n_windows FROM spans
+"""
+
+ORACLES["doc_dup_span_fraction"] = f"""
+WITH {_SD_SITES}, {_SD_SPANS}
+SELECT w.doc_id,
+       len(w.t) AS n_tokens,
+       coalesce(x.dup_tokens, 0) AS dup_tokens,
+       coalesce(x.dup_tokens, 0) / CAST(len(w.t) AS DOUBLE) AS dup_frac
+FROM w
+LEFT JOIN (
+    SELECT doc_id, sum(span_end - span_start + 1) AS dup_tokens
+    FROM spans GROUP BY doc_id
+) x USING (doc_id)
+"""
+
+ORACLES["doc_substring_dedup"] = f"""
+WITH {_SD_SITES},
+keepers AS (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY gram
+                              ORDER BY doc_id, pos) AS rk
+    FROM g JOIN d USING (gram)
+),
+cov AS (
+    SELECT DISTINCT doc_id, pos + o AS p
+    FROM (SELECT doc_id, pos FROM keepers WHERE rk > 1),
+         unnest(range(0, {_SPAN_K})) AS u(o)
+),
+toks AS (
+    SELECT doc_id, unnest(t) AS tok,
+           generate_subscripts(t, 1) - 1 AS p
+    FROM w
+)
+SELECT w.doc_id,
+       coalesce(x.dedup_text, '') AS dedup_text
+FROM w
+LEFT JOIN (
+    SELECT t.doc_id,
+           string_agg(t.tok, ' ' ORDER BY t.p) AS dedup_text
+    FROM toks t
+    ANTI JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+    GROUP BY t.doc_id
+) x USING (doc_id)
+"""

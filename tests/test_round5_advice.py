@@ -137,6 +137,10 @@ def test_registry_round6_changed_queries_inside_cap():
         "doc_stream_near_dup_verified",
         "doc_stream_exact_dup",
         "emb_stream_semantic_flags",
+        # exact substring dedup (new operator family this round)
+        "doc_dup_spans",
+        "doc_dup_span_fraction",
+        "doc_substring_dedup",
     }
     outside = round6_new_or_changed - set(_VERIFY_FIRST)
     assert not outside, f"changed queries outside the driver cap: {outside}"

@@ -1,0 +1,168 @@
+"""Exact substring dedup (operators/substring_dedup.py): semantics
+on hand-built corpora + the plan-shape scale contract (one exchange
+for detection, no corpus-wide pair expansion)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_connector_ibmi_spark.operators import substring_dedup as sd
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _toks(n, tag):
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+def test_window_sites_count_and_positions(spark):
+    df = _docs(spark, [_toks(10, "a"), _toks(3, "b")])
+    out = sd.window_sites(df, k=4).collect()
+    # doc 0: 10 tokens -> 7 windows at pos 0..6; doc 1: too short
+    assert sorted((r.doc_id, r.pos) for r in out) == [(0, p) for p in range(7)]
+    g0 = next(r.gram for r in out if r.pos == 0)
+    assert g0 == "a0 a1 a2 a3"
+
+
+def test_dup_sites_and_first_site_flag(spark):
+    shared = "x0 x1 x2 x3"
+    df = _docs(
+        spark,
+        [shared + " " + _toks(4, "p"), _toks(4, "q") + " " + shared],
+    )
+    out = sd.dup_window_sites(df, k=4).orderBy("doc_id", "pos").collect()
+    dup = [(r.doc_id, r.pos, r.is_first_site) for r in out if r.n_sites >= 2]
+    # the shared 4-gram sits at (0,0) and (1,4); (0,0) is the keeper
+    assert (0, 0, True) in dup and (1, 4, False) in dup
+
+
+def test_spans_merge_overlapping_windows(spark):
+    # one long shared run of 6 tokens -> windows at 3 consecutive pos
+    # in each doc; they must merge into ONE maximal span of 6 tokens
+    run = _toks(6, "s")
+    df = _docs(
+        spark,
+        [run + " " + _toks(5, "p"), _toks(3, "q") + " " + run],
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.n_windows)
+        for r in sd.dup_spans(df, k=4).collect()
+    }
+    assert spans[0] == (0, 5, 3)
+    assert spans[1] == (3, 8, 3)
+
+
+def test_spans_do_not_merge_across_gap(spark):
+    run = _toks(4, "s")
+    gap = _toks(9, "g")  # > k tokens between the two duplicated runs
+    df = _docs(spark, [run + " " + gap + " " + run, run])
+    # doc0 has the run at pos 0 and pos 13; doc1 at pos 0: the gram
+    # occurs at 3 sites. doc0's two spans must NOT merge (13 - 0 > k).
+    spans = [
+        (r.span_start, r.span_end)
+        for r in sd.dup_spans(df, k=4).where("doc_id = 0").collect()
+    ]
+    assert sorted(spans) == [(0, 3), (13, 16)]
+
+
+def test_dup_token_fraction_covers_all_docs(spark):
+    run = _toks(5, "s")
+    df = _docs(
+        spark,
+        [run + " " + _toks(5, "p"), run + " " + _toks(5, "q"),
+         _toks(10, "r"), _toks(3, "t")],  # unique doc + short doc
+    )
+    out = {r.doc_id: r for r in sd.dup_token_fraction(df, k=5).collect()}
+    assert len(out) == 4
+    assert out[0].dup_tokens == 5 and out[0].dup_frac == 0.5
+    assert out[1].dup_tokens == 5
+    assert out[2].dup_tokens == 0 and out[2].dup_frac == 0.0
+    assert out[3].n_tokens == 3 and out[3].dup_tokens == 0
+
+
+def test_remove_dup_spans_keeps_first_site_only(spark):
+    run = _toks(4, "s")
+    df = _docs(
+        spark,
+        [run + " " + _toks(4, "p"), _toks(4, "q") + " " + run],
+    )
+    out = {r.doc_id: r.dedup_text for r in sd.remove_dup_spans(df, k=4).collect()}
+    # doc 0 holds the globally-first site: untouched
+    assert out[0] == run + " " + _toks(4, "p")
+    # doc 1 loses exactly the duplicated run
+    assert out[1] == _toks(4, "q")
+
+
+def test_remove_dup_spans_within_doc_repeat(spark):
+    run = _toks(4, "s")
+    pad = _toks(9, "g")
+    df = _docs(spark, [run + " " + pad + " " + run])
+    out = sd.remove_dup_spans(df, k=4).collect()[0].dedup_text
+    # second occurrence excised, first kept
+    assert out == run + " " + pad
+
+
+def test_remove_preserves_other_columns(spark):
+    df = _docs(spark, [_toks(10, "a")]).withColumn("lang", F.lit("en"))
+    row = sd.remove_dup_spans(df, k=4).collect()[0]
+    assert row.lang == "en" and row.dedup_text == row.text
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_detection_is_single_exchange_no_pair_join(spark):
+    """The 100 TB contract: dup-site detection = ONE shuffle of the
+    site relation (gram groupBy; the join-back reuses that hash
+    partitioning so AQE plans no extra exchange of the site side),
+    map-side partial count, and NO pair expansion — hot boilerplate
+    grams are count-aggregated, never joined pairwise."""
+    df = _docs(spark, [_toks(12, "a"), _toks(12, "b")])
+    plan = _plan(sd.dup_window_sites(df, k=4))
+    # every hash exchange keys on gram (agg input + join probe); a
+    # pair-expanding design would also exchange on doc/pos keys
+    # (formatted mode: "Arguments: hashpartitioning(gram#N, ...)")
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\(([a-z_]+)", plan)
+    assert exchanges and set(exchanges) == {"gram"}, exchanges
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_spans_match_bruteforce_on_generated_corpus(spark):
+    """Property check vs an independent in-Python reference over the
+    sf0.001 documents table."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    rows = docs.collect()
+    k = 5
+    from collections import defaultdict
+
+    sites = defaultdict(list)
+    for r in rows:
+        t = r.text.split(" ")
+        for i in range(len(t) - k + 1):
+            sites[" ".join(t[i : i + k])].append((r.doc_id, i))
+    expect = defaultdict(set)
+    for g, ss in sites.items():
+        if len(ss) >= 2:
+            for d, p in ss:
+                expect[d].update(range(p, p + k))
+    got = {
+        r.doc_id: r.dup_tokens
+        for r in sd.dup_token_fraction(docs, k=k).collect()
+    }
+    for r in rows:
+        assert got[r.doc_id] == len(expect.get(r.doc_id, set())), r.doc_id
