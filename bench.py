@@ -50,6 +50,9 @@ HEADLINE = [
     # candidates); the all-pairs doc_ngram_jaccard_pairs is oracle-
     # mode only and intentionally NOT benchmarked
     "doc_near_dup_verified",
+    # exact substring dedup (round 6): detection core + removal
+    "doc_dup_spans",
+    "doc_substring_dedup",
     # corpus pipeline ops (round 3)
     "doc_chunk_dedup",
     "doc_decontaminate",
@@ -75,6 +78,11 @@ HEADLINE_10X = [
     "doc_near_dup_verified",
     "doc_dup_clusters",
     "doc_chunk_dedup",
+    # round-6: substring-dedup detection — the 10x corpus salts every
+    # copy's tokens, so dup grams replicate per copy (linear growth);
+    # the row evidences the one-shuffle count-agg shape staying
+    # sub-quadratic as the corpus grows
+    "doc_dup_spans",
 ]
 
 # Round-5 (VERDICT r4 #8): the emb_* sf0.1 times (0.3-1.3s) are

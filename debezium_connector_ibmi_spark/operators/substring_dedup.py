@@ -242,3 +242,180 @@ def remove_dup_spans(
         .drop("_cov")
     )
     return out
+
+
+# -- incremental mode: dedup a new crawl batch against a gram index --
+# The dedup-on-ingest story for the substring family: at 100 TB the
+# corpus is never re-windowed per crawl. The corpus is summarized
+# ONCE into an additive gram-stats relation (gram -> site count +
+# first site); each incoming batch joins its OWN grams against it.
+# Contract (pinned by tests + the driver oracle): incremental over
+# batch B with index(C) == the batch operators over C UNION B
+# restricted to B's docs — exactly, because total site count is
+# n_C + n_B and the global first site is the corpus one whenever the
+# gram was ever seen (corpus sites precede batch sites in time).
+#
+# Scale shape: gram_stats is one count/min agg (same single-shuffle
+# contract as detection); the per-batch join touches index rows only
+# for grams IN THE BATCH — persist the index bucketed by gram (e.g.
+# through the key-bucketed MERGE sink keyed on gram) and only the
+# batch side shuffles; for small batches, broadcasting the batch's
+# gram stats turns the index probe into a map-side scan. The merge
+# of new stats into the index is additive and associative
+# (sum / min-struct), so it composes with any upsert store.
+
+
+def gram_stats(
+    df: DataFrame,
+    k: int = DEFAULT_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Additive gram index relation: (gram, n_sites, first_doc,
+    first_pos). ONE count/min agg over the window sites."""
+    return (
+        window_sites(df, k, id_col, text_col)
+        .groupBy("gram")
+        .agg(
+            F.count("*").alias("n_sites"),
+            F.min(F.struct("doc_id", "pos")).alias("_first"),
+        )
+        .select(
+            "gram",
+            "n_sites",
+            F.col("_first.doc_id").alias("first_doc"),
+            F.col("_first.pos").alias("first_pos"),
+        )
+    )
+
+
+def merge_gram_stats(index: DataFrame, new: DataFrame) -> DataFrame:
+    """Fold a batch's gram stats into the index (sum counts, keep the
+    earliest first site). Associative — safe to apply per batch in
+    any grouping."""
+    return (
+        index.unionByName(new)
+        .groupBy("gram")
+        .agg(
+            F.sum("n_sites").alias("n_sites"),
+            F.min(F.struct(F.col("first_doc").alias("doc_id"),
+                           F.col("first_pos").alias("pos"))).alias("_f"),
+        )
+        .select(
+            "gram",
+            "n_sites",
+            F.col("_f.doc_id").alias("first_doc"),
+            F.col("_f.pos").alias("first_pos"),
+        )
+    )
+
+
+def dup_window_sites_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    k: int = DEFAULT_K,
+    min_sites: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch sites duplicated against corpus-index + batch-internal
+    occurrences: (doc_id, pos, n_sites, is_first_site). n_sites is
+    the corpus+batch total; is_first_site is True only for the min
+    batch site of a gram the corpus has NEVER seen (a corpus hit
+    always owns the first site)."""
+    sites = window_sites(batch, k, id_col, text_col)
+    stats_b = sites.groupBy("gram").agg(
+        F.count("*").alias("_n_b"),
+        F.min(F.struct("doc_id", "pos")).alias("_first_b"),
+    )
+    idx = index.select(
+        "gram",
+        F.col("n_sites").alias("_n_c"),
+    )
+    dup = (
+        stats_b.join(idx, "gram", "left")
+        .withColumn("_n_c", F.coalesce("_n_c", F.lit(0)))
+        .where(F.col("_n_b") + F.col("_n_c") >= min_sites)
+        .select(
+            "gram",
+            (F.col("_n_b") + F.col("_n_c")).alias("n_sites"),
+            F.when(F.col("_n_c") > 0, F.lit(None)).otherwise(
+                F.col("_first_b")
+            ).alias("_keeper"),
+        )
+    )
+    return sites.join(dup, "gram").select(
+        "doc_id",
+        "pos",
+        "n_sites",
+        F.coalesce(
+            (F.col("doc_id") == F.col("_keeper.doc_id"))
+            & (F.col("pos") == F.col("_keeper.pos")),
+            F.lit(False),
+        ).alias("is_first_site"),
+    )
+
+
+def dup_spans_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    k: int = DEFAULT_K,
+    min_sites: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_first_site: bool = False,
+) -> DataFrame:
+    """Maximal duplicated spans of the batch docs vs corpus+batch."""
+    sites = dup_window_sites_incremental(
+        batch, index, k, min_sites, id_col, text_col
+    )
+    if drop_first_site:
+        sites = sites.where(~F.col("is_first_site"))
+    return _merge_spans(sites, k).select(
+        "doc_id", "span_start", "span_end", "n_windows"
+    )
+
+
+def remove_dup_spans_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    k: int = DEFAULT_K,
+    min_sites: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "dedup_text",
+) -> DataFrame:
+    """Keep-one-copy removal for an incoming batch: tokens covered by
+    windows whose gram the corpus already holds (or a batch-earlier
+    site holds) are excised; a gram's first-ever site keeps its
+    copy."""
+    removed = dup_window_sites_incremental(
+        batch, index, k, min_sites, id_col, text_col
+    ).where(~F.col("is_first_site"))
+    covered = (
+        removed.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("_cov"))
+        .withColumnRenamed("doc_id", "_cov_id")
+    )
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.coalesce(
+            F.array_contains(F.col("_cov"), s["i"]), F.lit(False)
+        ),
+    )
+    return (
+        batch.join(covered, F.col(id_col) == F.col("_cov_id"), "left")
+        .drop("_cov_id")
+        .withColumn(
+            out_col,
+            F.concat_ws(" ", F.transform(kept, lambda s: s["t"])),
+        )
+        .drop("_cov")
+    )

@@ -66,7 +66,7 @@ _VERIFY_FIRST = [
     "doc_stream_exact_dup",
     "emb_stream_semantic_flags",
     "doc_dup_spans",
-    "doc_dup_span_fraction",
+    "doc_dup_spans_incremental",
     "doc_substring_dedup",
     # (b) last green row is r04: corpus ops
     "doc_pii_scrub",

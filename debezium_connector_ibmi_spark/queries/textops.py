@@ -976,11 +976,22 @@ def doc_dup_spans(spark, sf_dir):
     return sd.dup_spans(_docs(spark, sf_dir), k=_SPAN_K)
 
 
-def doc_dup_span_fraction(spark, sf_dir):
-    """Per-doc duplicated-token budget: fraction of each doc covered
-    by corpus-duplicated k-token windows. Every doc appears (0.0 for
-    dup-free docs) — the gating metric for boilerplate share."""
-    return sd.dup_token_fraction(_docs(spark, sf_dir), k=_SPAN_K)
+def doc_dup_spans_incremental(spark, sf_dir):
+    """Dedup-on-ingest for the substring family: docs with doc_id %
+    4 == 0 arrive as a new crawl batch; the other 75% are the already
+    -ingested corpus, summarized ONCE into the additive gram index.
+    The batch's duplicated spans are found against index + batch
+    WITHOUT re-windowing the corpus. The oracle exploits the pinned
+    contract: incremental(B, index(C)) == batch operator over C∪B
+    restricted to B's docs."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    return sd.dup_spans_incremental(
+        batch, sd.gram_stats(corpus, k=_SPAN_K), k=_SPAN_K
+    )
 
 
 def doc_substring_dedup(spark, sf_dir):
@@ -993,7 +1004,7 @@ def doc_substring_dedup(spark, sf_dir):
 
 
 QUERIES["doc_dup_spans"] = doc_dup_spans
-QUERIES["doc_dup_span_fraction"] = doc_dup_span_fraction
+QUERIES["doc_dup_spans_incremental"] = doc_dup_spans_incremental
 QUERIES["doc_substring_dedup"] = doc_substring_dedup
 
 # Shared oracle scaffolding: window sites, dup grams, dup sites.
@@ -1040,17 +1051,30 @@ WITH {_SD_SITES}, {_SD_SPANS}
 SELECT doc_id, span_start, span_end, n_windows FROM spans
 """
 
-ORACLES["doc_dup_span_fraction"] = f"""
-WITH {_SD_SITES}, {_SD_SPANS}
-SELECT w.doc_id,
-       len(w.t) AS n_tokens,
-       coalesce(x.dup_tokens, 0) AS dup_tokens,
-       coalesce(x.dup_tokens, 0) / CAST(len(w.t) AS DOUBLE) AS dup_frac
-FROM w
-LEFT JOIN (
-    SELECT doc_id, sum(span_end - span_start + 1) AS dup_tokens
-    FROM spans GROUP BY doc_id
-) x USING (doc_id)
+# incremental == batch-over-union restricted to the batch docs (the
+# pinned contract, tests/test_substring_dedup.py): restrict the dup
+# SITES to the batch before the per-doc span merge (doc-local, so
+# restricting before or after merging is identical).
+ORACLES["doc_dup_spans_incremental"] = f"""
+WITH {_SD_SITES},
+sb AS (SELECT doc_id, pos FROM s WHERE doc_id % 4 = 0),
+fl AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER win IS NULL
+                     OR pos - lag(pos) OVER win > {_SPAN_K}
+                THEN 1 ELSE 0 END AS new
+    FROM sb WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+sp AS (
+    SELECT doc_id, pos,
+           sum(new) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS span
+    FROM fl
+)
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) + {_SPAN_K - 1} AS span_end,
+       count(*) AS n_windows
+FROM sp GROUP BY doc_id, span
 """
 
 ORACLES["doc_substring_dedup"] = f"""

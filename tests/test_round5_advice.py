@@ -139,7 +139,7 @@ def test_registry_round6_changed_queries_inside_cap():
         "emb_stream_semantic_flags",
         # exact substring dedup (new operator family this round)
         "doc_dup_spans",
-        "doc_dup_span_fraction",
+        "doc_dup_spans_incremental",
         "doc_substring_dedup",
     }
     outside = round6_new_or_changed - set(_VERIFY_FIRST)

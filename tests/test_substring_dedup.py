@@ -166,3 +166,87 @@ def test_spans_match_bruteforce_on_generated_corpus(spark):
     }
     for r in rows:
         assert got[r.doc_id] == len(expect.get(r.doc_id, set())), r.doc_id
+
+
+# -- incremental mode (gram index) -----------------------------------
+def test_incremental_equals_batch_over_union(spark):
+    """The pinned contract: incremental(B, index(C)) == batch
+    operators over C UNION B restricted to B's docs."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    corpus = docs.where("doc_id % 4 != 0")
+    batch = docs.where("doc_id % 4 = 0")
+    k = 5
+    inc = sorted(
+        map(tuple, sd.dup_spans_incremental(
+            batch, sd.gram_stats(corpus, k=k), k=k
+        ).collect())
+    )
+    ref = sorted(
+        map(tuple, sd.dup_spans(docs, k=k)
+           .where("doc_id % 4 = 0").collect())
+    )
+    assert inc == ref and inc, "incremental spans diverge from batch"
+
+
+def test_incremental_corpus_owns_first_site(spark):
+    """A gram the corpus has EVER seen owns the first site regardless
+    of doc_id ordering: a batch doc with a smaller doc_id still loses
+    its copy (time order, not id order)."""
+    run = " ".join(f"s{i}" for i in range(4))
+    corpus = spark.createDataFrame(
+        [(100, run + " c0 c1 c2 c3")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, "b0 b1 b2 b3 " + run)], "doc_id long, text string"
+    )
+    out = sd.remove_dup_spans_incremental(
+        batch, sd.gram_stats(corpus, k=4), k=4
+    ).collect()
+    assert out[0].dedup_text == "b0 b1 b2 b3"
+    sites = sd.dup_window_sites_incremental(
+        batch, sd.gram_stats(corpus, k=4), k=4
+    ).collect()
+    assert all(not r.is_first_site for r in sites)
+
+
+def test_incremental_batch_internal_dups_still_found(spark):
+    """Grams unseen by the corpus but repeated inside the batch:
+    first batch site keeps, second is excised."""
+    run = " ".join(f"n{i}" for i in range(4))
+    corpus = spark.createDataFrame(
+        [(0, " ".join(f"c{i}" for i in range(10)))],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, run + " x0 x1 x2 x3"), (11, "y0 y1 y2 y3 " + run)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.dedup_text
+        for r in sd.remove_dup_spans_incremental(
+            batch, sd.gram_stats(corpus, k=4), k=4
+        ).collect()
+    }
+    assert out[10] == run + " x0 x1 x2 x3"
+    assert out[11] == "y0 y1 y2 y3"
+
+
+def test_merge_gram_stats_is_associative_and_matches_full(spark):
+    """index(C1) ⊕ stats(C2) == stats(C1 ∪ C2) — the additive fold
+    any upsert store can apply per batch."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").limit(80)
+    )
+    c1, c2 = docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+    k = 5
+    merged = sorted(
+        map(tuple, sd.merge_gram_stats(
+            sd.gram_stats(c1, k=k), sd.gram_stats(c2, k=k)
+        ).collect())
+    )
+    full = sorted(map(tuple, sd.gram_stats(docs, k=k).collect()))
+    assert merged == full and merged
