@@ -53,6 +53,15 @@ HEADLINE = [
     # exact substring dedup (round 6): detection core + removal
     "doc_dup_spans",
     "doc_substring_dedup",
+]
+
+# queries whose count() plan legitimately prunes the expensive side
+# (Catalyst eliminates a left join with a unique-keyed right relation
+# when no right column survives) — bench them with a full-column
+# noop-sink write instead so the number measures the real work
+MATERIALIZE_FULL = {"doc_substring_dedup"}
+
+HEADLINE += [
     # corpus pipeline ops (round 3)
     "doc_chunk_dedup",
     "doc_decontaminate",
@@ -183,7 +192,14 @@ def main():
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
-        n = df.count()  # materialize the full result
+        if name in MATERIALIZE_FULL:
+            # count() is join-eliminated for left-join+map queries
+            # (unique-keyed right side, no right column referenced) —
+            # a noop write materializes every column for real
+            df.write.format("noop").mode("overwrite").save()
+            n = "all-cols"
+        else:
+            n = df.count()  # materialize the full result
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 

@@ -86,25 +86,29 @@ def dup_window_sites(
     the globally-first site of each duplicate gram (min (doc_id,
     pos)) — the copy "keep one occurrence" policies retain.
 
-    ONE shuffle: groupBy(gram) with map-side partial count/min; the
-    join-back rides the same hash partitioning (exchange reuse)."""
+    ONE shuffle and ONE site-relation build: count/min over a
+    gram-partitioned window instead of groupBy + join-back (the two
+    branches of the join shape each rebuilt the sites — the exchange
+    subtrees differ (one carries the partial agg), so Catalyst's
+    ReuseExchange never fires and the map-side gram build ran
+    twice). A hot boilerplate gram routes to one window group the
+    same way it would route to one join partition — no worse skew —
+    and WindowExec spills its group buffer, so there is still no
+    pairwise expansion on popular substrings."""
     sites = window_sites(df, k, id_col, text_col)
-    stats = (
-        sites.groupBy("gram")
-        .agg(
-            F.count("*").alias("n_sites"),
-            F.min(F.struct("doc_id", "pos")).alias("_first"),
+    w = Window.partitionBy("gram")
+    first = F.min(F.struct("doc_id", "pos")).over(w)
+    return (
+        sites.select(
+            "doc_id",
+            "pos",
+            F.count("*").over(w).alias("n_sites"),
+            (
+                (F.col("doc_id") == first["doc_id"])
+                & (F.col("pos") == first["pos"])
+            ).alias("is_first_site"),
         )
         .where(F.col("n_sites") >= min_sites)
-    )
-    return sites.join(stats, "gram").select(
-        "doc_id",
-        "pos",
-        "n_sites",
-        (
-            (F.col("doc_id") == F.col("_first.doc_id"))
-            & (F.col("pos") == F.col("_first.pos"))
-        ).alias("is_first_site"),
     )
 
 
@@ -324,35 +328,35 @@ def dup_window_sites_incremental(
     batch site of a gram the corpus has NEVER seen (a corpus hit
     always owns the first site)."""
     sites = window_sites(batch, k, id_col, text_col)
-    stats_b = sites.groupBy("gram").agg(
-        F.count("*").alias("_n_b"),
-        F.min(F.struct("doc_id", "pos")).alias("_first_b"),
-    )
-    idx = index.select(
+    # same one-build window shape as dup_window_sites: batch-internal
+    # count/first over a gram window, then ONE left join against the
+    # index — the window leaves the sites hash-partitioned by gram,
+    # so the index probe reuses that partitioning
+    w = Window.partitionBy("gram")
+    first_b = F.min(F.struct("doc_id", "pos")).over(w)
+    enriched = sites.select(
         "gram",
-        F.col("n_sites").alias("_n_c"),
+        "doc_id",
+        "pos",
+        F.count("*").over(w).alias("_n_b"),
+        (
+            (F.col("doc_id") == first_b["doc_id"])
+            & (F.col("pos") == first_b["pos"])
+        ).alias("_is_first_b"),
     )
-    dup = (
-        stats_b.join(idx, "gram", "left")
+    idx = index.select("gram", F.col("n_sites").alias("_n_c"))
+    return (
+        enriched.join(idx, "gram", "left")
         .withColumn("_n_c", F.coalesce("_n_c", F.lit(0)))
         .where(F.col("_n_b") + F.col("_n_c") >= min_sites)
         .select(
-            "gram",
+            "doc_id",
+            "pos",
             (F.col("_n_b") + F.col("_n_c")).alias("n_sites"),
-            F.when(F.col("_n_c") > 0, F.lit(None)).otherwise(
-                F.col("_first_b")
-            ).alias("_keeper"),
+            ((F.col("_n_c") == 0) & F.col("_is_first_b")).alias(
+                "is_first_site"
+            ),
         )
-    )
-    return sites.join(dup, "gram").select(
-        "doc_id",
-        "pos",
-        "n_sites",
-        F.coalesce(
-            (F.col("doc_id") == F.col("_keeper.doc_id"))
-            & (F.col("pos") == F.col("_keeper.pos")),
-            F.lit(False),
-        ).alias("is_first_site"),
     )
 
 

@@ -968,12 +968,25 @@ from debezium_connector_ibmi_spark.operators import substring_dedup as sd
 _SPAN_K = 8
 
 
+def _docs_par(spark, sf_dir):
+    """documents, spread across the default parallelism: the testdata
+    table is ONE single-row-group parquet file, so the 128MB scan
+    split leaves the whole gram-build map stage on one core
+    (maxPartitionBytes cannot split inside a row group). One tiny
+    round-robin shuffle of the 5k-doc relation buys 32x map
+    parallelism; at real scale the input has >= cores partitions and
+    the repartition collapses to a cheap rebalance."""
+    return _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def doc_dup_spans(spark, sf_dir):
     """Maximal duplicated k-token spans per doc (token-index
     inclusive bounds): the corpus-wide exact-substring map. One
-    shuffle (gram groupBy + partition-reusing join-back), then
-    per-doc gaps-and-islands merge."""
-    return sd.dup_spans(_docs(spark, sf_dir), k=_SPAN_K)
+    site-relation build, one gram-keyed shuffle (count/min window),
+    then per-doc gaps-and-islands merge."""
+    return sd.dup_spans(_docs_par(spark, sf_dir), k=_SPAN_K)
 
 
 def doc_dup_spans_incremental(spark, sf_dir):
@@ -984,7 +997,7 @@ def doc_dup_spans_incremental(spark, sf_dir):
     WITHOUT re-windowing the corpus. The oracle exploits the pinned
     contract: incremental(B, index(C)) == batch operator over C∪B
     restricted to B's docs."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     from pyspark.sql import functions as F
 
     batch = docs.where(F.col("doc_id") % 4 == 0)
@@ -998,7 +1011,7 @@ def doc_substring_dedup(spark, sf_dir):
     """Keep-one-copy substring dedup: each duplicated passage
     survives only at its globally-first (doc_id, pos) site; later
     occurrences are excised token-wise and the text re-joined."""
-    return sd.remove_dup_spans(_docs(spark, sf_dir), k=_SPAN_K).select(
+    return sd.remove_dup_spans(_docs_par(spark, sf_dir), k=_SPAN_K).select(
         "doc_id", "dedup_text"
     )
 

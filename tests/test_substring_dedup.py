@@ -120,22 +120,26 @@ def _plan(df) -> str:
 
 
 def test_detection_is_single_exchange_no_pair_join(spark):
-    """The 100 TB contract: dup-site detection = ONE shuffle of the
-    site relation (gram groupBy; the join-back reuses that hash
-    partitioning so AQE plans no extra exchange of the site side),
-    map-side partial count, and NO pair expansion — hot boilerplate
-    grams are count-aggregated, never joined pairwise."""
+    """The 100 TB contract: dup-site detection = ONE build of the
+    site relation and ONE gram-keyed shuffle (count/min window over
+    gram partitions), NO join and NO pair expansion — the former
+    groupBy+join-back shape rebuilt the map-side gram stage on both
+    join branches (differing exchange subtrees defeat ReuseExchange);
+    hot boilerplate grams route to one window group exactly as they
+    would route to one join partition, never pairwise-expanded."""
     df = _docs(spark, [_toks(12, "a"), _toks(12, "b")])
     plan = _plan(sd.dup_window_sites(df, k=4))
-    # every hash exchange keys on gram (agg input + join probe); a
-    # pair-expanding design would also exchange on doc/pos keys
-    # (formatted mode: "Arguments: hashpartitioning(gram#N, ...)")
     import re
 
     exchanges = re.findall(r"hashpartitioning\(([a-z_]+)", plan)
-    assert exchanges and set(exchanges) == {"gram"}, exchanges
-    assert "partial_count" in plan or "partial" in plan.lower()
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert exchanges == ["gram"], exchanges  # exactly ONE, on gram
+    # formatted mode prints each operator in the tree AND a detail
+    # header "(n) Generate" — count detail headers
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, (
+        "site relation built twice"
+    )
+    assert "Window" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
 
 
 def test_spans_match_bruteforce_on_generated_corpus(spark):
