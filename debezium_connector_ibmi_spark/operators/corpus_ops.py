@@ -243,3 +243,102 @@ def chunk_dedup_stats(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("is_dup").cast("long").alias("n_dup_chunks"),
     )
+
+
+# -- Gopher-style composite quality gate ------------------------------
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher"), the
+# published webtext quality-filter recipe most pipelines start from.
+# Each rule is an independent boolean column so downstream consumers
+# can audit WHY a doc was dropped (the reasons array), re-weight
+# rules, or stream the gate inside the CDC ingest foreachBatch.
+# All map-only Catalyst expressions — whole-stage codegen, no
+# shuffle, pushes past any downstream filter.
+
+GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,   # '#' and '...' per word
+    "min_alpha_word_ratio": 0.8,    # words containing a letter
+    "min_stopword_hits": 2,
+    "max_dup_line_ratio": 0.3,
+}
+
+_GOPHER_STOPWORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    params: dict | None = None,
+    stopwords: tuple[str, ...] = _GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Append per-rule booleans, a ``gopher_pass`` verdict, and a
+    ``gopher_reasons`` array naming every failed rule. Rules follow
+    the published thresholds (overridable via ``params``):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    alphabetic-word ratio, minimum stopword hits, and duplicate-line
+    ratio (the repetition family's cheapest member — the full
+    repetition suite lives in ``repetition_stats``)."""
+    p = {**GOPHER_DEFAULTS, **(params or {})}
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    mean_len = (
+        F.aggregate(
+            words, F.lit(0), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / n_words
+    )
+    n_symbols = F.size(
+        F.filter(words, lambda w: w.contains("#") | w.contains("..."))
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*stopwords)))
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
+
+    rules = {
+        "word_count": (n_words >= p["min_words"])
+        & (n_words <= p["max_words"]),
+        "mean_word_len": (mean_len >= p["min_mean_word_len"])
+        & (mean_len <= p["max_mean_word_len"]),
+        "symbol_ratio": n_symbols
+        <= p["max_symbol_word_ratio"] * n_words,
+        "alpha_ratio": n_alpha >= p["min_alpha_word_ratio"] * n_words,
+        "stopword_hits": n_stop >= p["min_stopword_hits"],
+        "dup_line_ratio": n_dup_lines
+        <= p["max_dup_line_ratio"] * n_lines,
+    }
+    out = df
+    for name, cond in rules.items():
+        out = out.withColumn(f"gopher_{name}", cond)
+    passes = [F.col(f"gopher_{n}") for n in rules]
+    out = out.withColumn(
+        "gopher_pass",
+        F.aggregate(F.array(*passes), F.lit(True), lambda a, b: a & b),
+    )
+    reason_arr = F.array(
+        *[
+            F.when(~F.col(f"gopher_{n}"), F.lit(n))
+            for n in rules
+        ]
+    )
+    return out.withColumn(
+        "gopher_reasons",
+        F.filter(reason_arr, lambda x: x.isNotNull()),
+    )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    params: dict | None = None,
+) -> DataFrame:
+    """The gate itself: keep only passing docs, original columns."""
+    flagged = gopher_quality_flags(df, text_col, params)
+    drop = [c for c in flagged.columns if c.startswith("gopher_")]
+    return flagged.where(F.col("gopher_pass")).drop(*drop)

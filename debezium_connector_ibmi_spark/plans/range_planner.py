@@ -40,9 +40,11 @@ class PositionRange:
     start: Position
     end: Position
     # planner's upper bound on entries in the range (seq-span budget
-    # consumed); None when the range was built without a plan. Lets
-    # the engine pick per-batch strategies (e.g. whether touched-
-    # bucket discovery should ride the cache fill) without an action.
+    # consumed); None when the range was built without a plan. Free
+    # planner metadata for per-batch strategy picks without an action
+    # (currently informational: the round-5 fold gate that read it was
+    # removed in round 6 after re-measurement — see engine.py's
+    # TOUCHED_BUCKETS_VIA_OBSERVE note).
     est_entries: int | None = None
 
     def predicate(self) -> Column:

@@ -56,13 +56,20 @@ LINEAGE_OBSERVE_MAX_RECEIVERS = 64
 # exchange). False reverts to the sink's own distinct+collect job.
 TOUCHED_BUCKETS_VIA_OBSERVE = True
 
-# fold only when the planned range is at most this many entries. The
-# fold's win is per-batch FIXED cost (one exchange + one scheduling
-# stage), so it pays on small/streaming batches; on multi-million-row
-# bulk batches the noop action's extra full-width pass over the cached
-# rows outweighs it (~12% measured at 6.5M x 2KB rows), while the
-# sink's fallback discovery scans only the key column.
-TOUCHED_FOLD_MAX_ENTRIES = 1_000_000
+# The fold runs UNCONDITIONALLY whenever the batch is persisted (cow
+# paths). A round-5 gate skipped it above 1M planned entries on the
+# theory that the noop pass's full-width scan loses to the sink's
+# key-column-only fallback discovery on bulk batches — but a persisted
+# DataFrame materializes ALL columns on its FIRST action regardless of
+# which column that action reads, so the fallback's first job pays the
+# same full-width cache fill and then the merge still needs its own
+# pass: the fold is strictly one scheduled job cheaper. Re-measured
+# round 6 on the 16.3M-entry single-batch scaling workload
+# (protocol-pinned journal, taskset-pinned): fold beats the gated
+# fallback at every level — 180.8s vs 199.3s (2 cores), 53.4s vs
+# 58.5s (8 cores), 176.5s vs 210.0s (32 cores, 64g-heap GC noise but
+# same direction). The r5 "~12%" figure predates the fold riding the
+# cache fill (75ca076) and measured the old separate-exchange shape.
 
 
 def _mor_compact_due(cfg, target, n_done: int, stats: dict) -> bool:
@@ -401,11 +408,7 @@ class JournalTailer:
         touched = None
         if cache:
             batch = batch.persist()
-            if (
-                rng.est_entries is not None
-                and rng.est_entries <= TOUCHED_FOLD_MAX_ENTRIES
-            ):
-                touched = _fill_cache_collect_touched(batch, self.target)
+            touched = _fill_cache_collect_touched(batch, self.target)
         merge_kwargs = {} if touched is None else {"touched": touched}
         stats = self.target.merge(
             batch,
@@ -733,9 +736,6 @@ def run_structured_stream(
         except (FileNotFoundError, KeyError, ValueError):
             return "stream-" + cfg.checkpoint_path
 
-    # adaptive fold gate: previous epoch's observed row count
-    _fold_gate = {"rows": 0}
-
     def apply_batch(df: DataFrame, epoch_id: int):
         # T12 in streaming mode: schema events in this micro-batch
         # apply before its data merge, exactly once (version fence)
@@ -751,9 +751,6 @@ def run_structured_stream(
         observed = df.observe(
             obs,
             F.max(F.struct(F.col("receiver_idx"), F.col("seq"))).alias("w"),
-            # batch size, used to gate the NEXT epoch's touched-bucket
-            # fold (see below) — rides the same observation for free
-            F.count(F.lit(1)).alias("n"),
         )
         # persist: the cow sink takes two actions over the batch; the
         # mor sink's single write action needs no cache
@@ -762,18 +759,14 @@ def run_structured_stream(
         touched = None
         if cache:
             batch = batch.persist()
-            # Same TOUCHED_FOLD_MAX_ENTRIES economics as the tailer
-            # path: the fold only pays on small/streaming batches. A
-            # file-source micro-batch has no planner row estimate, so
-            # the gate is adaptive — the PREVIOUS epoch's observed row
-            # count (from the watermark Observation) decides; a bulk
-            # backfill pushed through the stream stops folding from
-            # its second epoch on and the sink's key-column-only
-            # discovery takes over.
-            if _fold_gate["rows"] <= TOUCHED_FOLD_MAX_ENTRIES:
-                # fires the watermark Observation above too (it sits
-                # below prepare_batch in the observed plan)
-                touched = _fill_cache_collect_touched(batch, target)
+            # unconditional, like the tailer path (see the
+            # TOUCHED_BUCKETS_VIA_OBSERVE note): the persisted batch
+            # pays a full-width cache fill on its first action either
+            # way, so riding the fold on it is strictly one job
+            # cheaper than the sink's fallback discovery. Also fires
+            # the watermark Observation above (it sits below
+            # prepare_batch in the observed plan).
+            touched = _fill_cache_collect_touched(batch, target)
 
         def wm_provider():
             # bounded probe, never a blocking obs.get: a sink commit
@@ -808,10 +801,6 @@ def run_structured_stream(
         )
         if cache:
             batch.unpersist()
-        # feed the adaptive fold gate (bounded probe, never blocks)
-        vals = _observation_metrics(obs)
-        if vals is not None and vals.get("n") is not None:
-            _fold_gate["rows"] = int(vals["n"])
         # mor housekeeping parity with run_to_head: delta-count
         # trigger preferred, batch cadence as fallback (epoch ids are
         # monotone, so the cadence holds across restarts too)

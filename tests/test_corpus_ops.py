@@ -171,3 +171,73 @@ def test_normalize_url_pinned_cases(spark):
     )
     for r in out2.collect():
         assert r["twice"] == r["once"]
+
+
+# -- Gopher composite quality gate -----------------------------------
+def _gopher_docs(spark):
+    good = " ".join(
+        (["the", "be", "to", "of"] + [f"word{i}" for i in range(56)])
+    )  # 60 words, stopwords present, all alpha
+    short = "the be only five words"
+    symbols = " ".join(["the", "be"] + ["###"] * 30 + ["w"] * 28)
+    nonalpha = " ".join(["the", "be"] + ["123"] * 58)
+    no_stop = " ".join(f"w{i}" for i in range(60))
+    dup_lines = "\n".join(["the be same line of words"] * 10)
+    return spark.createDataFrame(
+        [
+            (0, good), (1, short), (2, symbols),
+            (3, nonalpha), (4, no_stop), (5, dup_lines),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_gopher_flags_per_rule(spark):
+    from debezium_connector_ibmi_spark.operators.corpus_ops import (
+        gopher_quality_flags,
+    )
+
+    out = {r.doc_id: r for r in gopher_quality_flags(_gopher_docs(spark)).collect()}
+    assert out[0].gopher_pass and out[0].gopher_reasons == []
+    assert not out[1].gopher_pass and "word_count" in out[1].gopher_reasons
+    assert not out[2].gopher_pass and "symbol_ratio" in out[2].gopher_reasons
+    assert not out[3].gopher_pass and "alpha_ratio" in out[3].gopher_reasons
+    assert not out[4].gopher_pass and "stopword_hits" in out[4].gopher_reasons
+    assert "dup_line_ratio" in out[5].gopher_reasons
+
+
+def test_gopher_filter_keeps_original_schema(spark):
+    from debezium_connector_ibmi_spark.operators.corpus_ops import (
+        gopher_filter,
+    )
+
+    docs = _gopher_docs(spark)
+    out = gopher_filter(docs)
+    assert out.columns == docs.columns
+    assert [r.doc_id for r in out.collect()] == [0]
+
+
+def test_gopher_params_override(spark):
+    from debezium_connector_ibmi_spark.operators.corpus_ops import (
+        gopher_quality_flags,
+    )
+
+    out = {
+        r.doc_id: r.gopher_pass
+        for r in gopher_quality_flags(
+            _gopher_docs(spark), params={"min_words": 5}
+        ).collect()
+    }
+    assert out[1] is True  # the 5-word doc passes with the low bound
+
+
+def test_gopher_is_map_only(spark):
+    from debezium_connector_ibmi_spark.operators.corpus_ops import (
+        gopher_quality_flags,
+    )
+
+    df = gopher_quality_flags(_gopher_docs(spark))
+    s = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in s, "quality gate must not shuffle"
