@@ -239,6 +239,15 @@ def main():
     # --- streaming dedup-on-ingest (round 5): the full stateful
     # pipeline (availableNow ingest -> LSH bucket state -> exact
     # verify) at sf0.1; separate key, NOT in `value` ------------------
+    # Streaming-machinery warmup, same rationale as the JVM warmup
+    # above: the FIRST streaming query of a session pays ~4s of
+    # one-time init (state-store providers, stateful python workers,
+    # checkpoint plumbing) that long-running cluster executors never
+    # re-pay per job; run the same stateful op over the tiny sf0.001
+    # table untimed so the timed number measures the pipeline
+    # (round-6 profile: 7.6s first run vs 3.2-3.7s warm at any
+    # shuffle-partition count 8-32).
+    qs["doc_stream_near_dup_verified"](spark, "/root/testdata/sf0.001").count()
     t0 = time.time()
     n_stream = qs["doc_stream_near_dup_verified"](spark, SF_DIR).count()
     stream_dedup_sec = round(time.time() - t0, 3)
