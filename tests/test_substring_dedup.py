@@ -254,3 +254,68 @@ def test_merge_gram_stats_is_associative_and_matches_full(spark):
     )
     full = sorted(map(tuple, sd.gram_stats(docs, k=k).collect()))
     assert merged == full and merged
+
+
+# -- randomized property check (seeded, house style: bounded Spark
+# jobs per case) ------------------------------------------------------
+def _py_reference(texts, k):
+    """Independent reference: dup sites, keep-first removal, spans."""
+    from collections import defaultdict
+
+    sites = defaultdict(list)
+    for d, t in enumerate(texts):
+        toks = t.split(" ")
+        for i in range(len(toks) - k + 1):
+            sites[" ".join(toks[i : i + k])].append((d, i))
+    covered = defaultdict(set)      # all dup-covered positions
+    removed = defaultdict(set)      # non-keeper-covered positions
+    for g, ss in sites.items():
+        if len(ss) < 2:
+            continue
+        keeper = min(ss)
+        for d, p in ss:
+            covered[d].update(range(p, p + k))
+            if (d, p) != keeper:
+                removed[d].update(range(p, p + k))
+    texts_out = []
+    for d, t in enumerate(texts):
+        toks = t.split(" ")
+        texts_out.append(
+            " ".join(
+                w for i, w in enumerate(toks) if i not in removed[d]
+            )
+        )
+    return covered, texts_out
+
+
+@pytest.mark.parametrize("seed,n_docs,vocab", [
+    (7, 25, 6),    # tiny vocab: dense collisions, heavy overlaps
+    (11, 40, 12),  # medium
+    (23, 30, 4),   # near-degenerate: almost everything duplicated
+])
+def test_random_corpora_match_python_reference(spark, seed, n_docs, vocab):
+    import random
+
+    rng = random.Random(seed)
+    k = 4
+    texts = [
+        " ".join(
+            f"w{rng.randrange(vocab)}"
+            for _ in range(rng.randrange(2, 30))
+        )
+        for _ in range(n_docs)
+    ]
+    covered, texts_out = _py_reference(texts, k)
+    df = _docs(spark, texts)
+    got_cov = {
+        r.doc_id: r.dup_tokens
+        for r in sd.dup_token_fraction(df, k=k).collect()
+    }
+    for d in range(n_docs):
+        assert got_cov[d] == len(covered[d]), f"doc {d} coverage"
+    got_txt = {
+        r.doc_id: r.dedup_text
+        for r in sd.remove_dup_spans(df, k=k).collect()
+    }
+    for d in range(n_docs):
+        assert got_txt[d] == texts_out[d], f"doc {d} removal"
