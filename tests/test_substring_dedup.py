@@ -319,3 +319,72 @@ def test_random_corpora_match_python_reference(spark, seed, n_docs, vocab):
     }
     for d in range(n_docs):
         assert got_txt[d] == texts_out[d], f"doc {d} removal"
+
+
+def test_gram_index_persists_through_merge_sink(spark, tmpdir_path):
+    """The composition claim, end-to-end: the additive gram index
+    lives in the key-bucketed MERGE sink (keyed on gram) across crawl
+    batches. Per batch: read index -> incremental dedup -> fold batch
+    stats -> upsert only the touched grams. After two batches the
+    persisted index equals gram_stats over everything ingested, and
+    batch-2 dedup matches the batch operator over the union."""
+    from debezium_connector_ibmi_spark.sinks.merge import (
+        KeyBucketedTarget,
+    )
+
+    k = 5
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    b1 = docs.where("doc_id % 3 != 0")
+    b2 = docs.where("doc_id % 3 = 0")
+    tgt = KeyBucketedTarget(
+        spark, f"{tmpdir_path}/gram_index", key="gram", num_buckets=8
+    )
+
+    def upsert(stats, batch_id):
+        tgt.merge(
+            stats.select(
+                "gram", "n_sites", "first_doc", "first_pos",
+                F.lit("UP").alias("op"),
+                F.lit(0).alias("receiver_idx"),
+                F.lit(batch_id).alias("seq"),
+            ),
+            batch_id=batch_id,
+            watermark=(0, batch_id),
+        )
+
+    upsert(sd.gram_stats(b1, k=k), 1)
+    idx = tgt.read().select("gram", "n_sites", "first_doc", "first_pos")
+
+    # incremental dedup of batch 2 against the PERSISTED index
+    inc = sorted(
+        map(tuple, sd.dup_spans_incremental(b2, idx, k=k).collect())
+    )
+    ref = sorted(
+        map(
+            tuple,
+            sd.dup_spans(docs, k=k).where("doc_id % 3 = 0").collect(),
+        )
+    )
+    assert inc == ref and inc
+
+    # fold batch-2 stats in; upsert only grams batch 2 touched
+    s2 = sd.gram_stats(b2, k=k)
+    touched = sd.merge_gram_stats(
+        idx.join(s2.select("gram"), "gram", "left_semi"), s2
+    )
+    upsert(touched, 2)
+
+    got = sorted(
+        map(
+            tuple,
+            tgt.read()
+            .select("gram", "n_sites", "first_doc", "first_pos")
+            .collect(),
+        )
+    )
+    want = sorted(map(tuple, sd.gram_stats(docs, k=k).collect()))
+    assert got == want
