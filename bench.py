@@ -282,9 +282,24 @@ def main():
         n_events = sum(s.get("events", 0) for s in stats)
         timings["cdc_apply_e2e"] = round(apply_sec, 3)
         events_per_sec = round(n_events / apply_sec, 1) if apply_sec else 0.0
+        # steady-state rate: batches after the first (batch 0 absorbs
+        # ~4-5s of one-time whole-stage-codegen/JIT compilation of the
+        # decode+compact+merge pipeline that long-running cluster
+        # executors pay once per deploy, not per job). Additive key —
+        # the headline cdc_events_per_sec stays protocol-comparable.
+        later = [s for s in stats if "events" in s][1:]
+        steady = (
+            round(
+                sum(s["events"] for s in later)
+                / sum(s["secs"] for s in later),
+                1,
+            )
+            if later and sum(s["secs"] for s in later) > 0
+            else events_per_sec
+        )
         print(
             f"# cdc_apply_e2e: {apply_sec:.1f}s, {n_events} entries,"
-            f" {events_per_sec}/s",
+            f" {events_per_sec}/s ({steady}/s steady-state)",
             file=sys.stderr,
         )
 
@@ -364,6 +379,7 @@ def main():
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "cdc_events_applied": n_events,
                 "cdc_events_per_sec": events_per_sec,
+                "cdc_events_per_sec_steady": steady,
                 "cdc_events_per_sec_binary": bin_eps,
                 "cpus": CPUS,
                 # 10x-documents block (round 4+): separate keys so the
