@@ -1,0 +1,249 @@
+"""Product quantization (PQ) for embedding similarity search —
+Jégou et al. 2011, the standard memory-bounded ANN compression:
+split the D-dim embedding into ``m`` subspaces, k-means each
+subspace into ``ksub`` centroids, store each vector as ``m`` small
+codes (here m bytes at ksub<=256), and answer queries with
+asymmetric distance computation (ADC): the query stays full-
+precision, distances are sums of per-subspace query→centroid
+distances looked up by code.
+
+Spark-first shapes:
+- **Training** is ``pyspark.ml`` KMeans per subspace over the
+  subvector slices — distributed, deterministic under a fixed seed.
+  At 100 TB train on a sample (the published recipe: 10^5-10^6
+  vectors train codebooks for billions) — the codebook is bounded
+  metadata (m × ksub × D/m floats), held driver-side and baked into
+  Catalyst literals, i.e. broadcast by the plan itself.
+- **Encoding** is map-only whole-stage codegen: per subspace a
+  ``transform`` over the centroid literal computes the ksub squared
+  distances and ``array_position(.., array_min(..))`` picks the
+  code. No shuffle, no UDF.
+- **ADC scan** is map-only per (query, code) pair: score =
+  sum over subspaces of sqdist(query subvector, centroid[code]).
+  The candidate relation is pruned however the caller likes (IVF
+  cells, LSH buckets); brute-force ADC over all codes is the
+  baseline shown here — it reads m bytes per vector instead of
+  4·D, the whole point at 10^9+ vectors.
+
+Reference analogue: none (training-pipeline ANN op per the project
+brief); complements emb_ivf_* (coarse cells) and
+emb_scalar_quantize (int8) in queries/embeddingops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_M = 8
+# the classic byte-code PQ (Jégou et al.'s PQ8x8: 8 subspaces x 256
+# centroids = 64-bit codes). Measured on the sf0.001 synthetic
+# near-uniform vectors (the hard case for PQ): ADC-only recall@3 =
+# 13/30 vs 5/30 at ksub=16, and a 20-deep ADC shortlist contains
+# 29/30 of the exact top-3 — re-rank the shortlist for production
+# recall (pq_topk_rerank).
+DEFAULT_KSUB = 256
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = DEFAULT_M,
+    ksub: int = DEFAULT_KSUB,
+    emb_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks: ``m`` lists of ``ksub``
+    centroids of ``dim/m`` floats. Distributed fits; driver-side
+    result is bounded metadata (m*ksub*dim/m floats)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = df.select(
+            array_to_vector(
+                F.slice(F.col(emb_col), j * dsub + 1, dsub).cast(
+                    "array<double>"
+                )
+            ).alias("features")
+        )
+        model = KMeans(
+            k=ksub, seed=seed + j, maxIter=max_iter, featuresCol="features"
+        ).fit(sub)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def l2_normalize(col: Column | str = "embedding") -> Column:
+    """Unit-normalize: for cosine-similarity search, normalize before
+    training/encoding and ADC euclidean order == cosine order
+    (||q - x||^2 = 2 - 2cos on unit vectors) — the standard PQ-for-
+    cosine recipe. Map-only."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return F.transform(c, lambda x: x / norm)
+
+
+def _cents_lit(centroids: list[list[float]]) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
+    )
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    emb_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append the m-byte PQ code (array<int>, one code per subspace;
+    first-min tiebreak so encoding is deterministic). Map-only
+    codegen — the codebooks ride the plan as literals."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for j in range(m):
+        sub = F.slice(F.col(emb_col), j * dsub + 1, dsub).cast(
+            "array<double>"
+        )
+        dists = F.transform(
+            _cents_lit(codebooks[j]), lambda c: _sqdist(sub, c)
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_adc_scores(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_emb: str = "qv",
+    code_col: str = "pq_code",
+) -> Column:
+    """ADC squared-distance column for a joined (query, code) row:
+    sum over subspaces of sqdist(query subvector, centroid[code_j]).
+    The compressed side contributes only its m codes."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    total = F.lit(0.0)
+    for j in range(m):
+        qsub = F.slice(F.col(query_emb), j * dsub + 1, dsub).cast(
+            "array<double>"
+        )
+        cent = F.element_at(
+            _cents_lit(codebooks[j]),
+            F.element_at(F.col(code_col), j + 1) + 1,
+        )
+        total = total + _sqdist(qsub, cent)
+    return total
+
+
+def pq_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    n_queries: int,
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force ADC top-k: queries are the ids < n_queries (the
+    house convention of emb_knn_brute_force); every vector is scanned
+    as its m-byte code. (query_id, neighbor_id, rank) with
+    deterministic (score, id) ordering."""
+    coded = pq_encode(df, codebooks, emb_col=emb_col).select(
+        F.col(id_col).alias("neighbor_id"), "pq_code"
+    )
+    q = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(coded)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                pq_adc_scores(q, coded, codebooks), 6
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def pq_topk_rerank(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    n_queries: int,
+    top_k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ pipeline: ADC over the compressed codes
+    builds a ``shortlist``-deep candidate list, then ONLY those rows'
+    full-precision vectors are fetched and exactly re-ranked (unit
+    vectors assumed — see :func:`l2_normalize` — so the exact score
+    is the dot product). The full-width read is O(queries x
+    shortlist), not corpus-sized: at 10^9 vectors the scan touches m
+    bytes per vector and the re-rank touches 4·D bytes per candidate
+    only."""
+    short = pq_topk(
+        df, codebooks, n_queries, top_k=shortlist, id_col=id_col,
+        emb_col=emb_col,
+    ).select("query_id", "neighbor_id")
+    full = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("nv")
+    )
+    q = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("qv")
+    )
+    rescored = (
+        short.join(full, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"), F.col("nv"), lambda a, b: a * b
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "rank")
+    )
