@@ -247,3 +247,100 @@ def pq_topk_rerank(
         .filter(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    cells: DataFrame,
+    n_queries: int,
+    top_k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ — the canonical billion-scale ANN layout (FAISS
+    IVFADC): a coarse quantizer prunes to the query's cell(s), ADC
+    over the cell's m-byte codes builds a shortlist, exact re-rank
+    finishes. ``cells`` is any (vec_id, cell) assignment — e.g. the
+    deterministic sampled quantizer of queries/embeddingops.py's
+    ``_ivf_assign_cells`` or a KMeans one; queries probe every cell
+    their own id is assigned to (pass an nprobe>1 assignment for the
+    recall knob).
+
+    Scale shape: the candidate relation is cell-joined (shuffle on
+    the tiny cell key or broadcast queries), candidates carry ONLY
+    their codes until the shortlist, and full vectors are fetched for
+    queries x shortlist rows at the end."""
+    coded = pq_encode(df, codebooks, emb_col=emb_col).select(
+        F.col(id_col).alias("neighbor_id"), "pq_code"
+    )
+    cand = cells.select(
+        F.col(id_col).alias("neighbor_id"), "cell"
+    ).join(coded, "neighbor_id")
+    q = (
+        cells.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), "cell")
+        .join(
+            df.select(
+                F.col(id_col).alias("query_id"),
+                F.col(emb_col).alias("qv"),
+            ),
+            "query_id",
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                pq_adc_scores(q, cand, codebooks), 6
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+        # a (query, neighbor) pair can appear once per shared probe
+        # cell at nprobe>1
+        .distinct()
+    )
+    full = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("nv")
+    )
+    qv = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("qv")
+    )
+    rescored = (
+        short.join(full, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"), F.col("nv"), lambda a, b: a * b
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("cos_r"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -128,3 +128,51 @@ def test_encode_is_map_only(emb, books):
         df._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan, "PQ encode must not shuffle"
+
+
+def test_ivfpq_recall_vs_bruteforce(spark, emb, books):
+    """IVF+PQ composition: coarse cells prune, ADC shortlists, exact
+    re-rank — recall bounded by cell pruning (like emb_ivf_topk), so
+    the floor matches the kmeans-IVF invariant form."""
+    from debezium_connector_ibmi_spark.queries.embeddingops import (
+        _ivf_assign_cells,
+        emb_knn_brute_force,
+    )
+
+    cells = _ivf_assign_cells(emb).select("vec_id", "cell")
+    bf = (
+        emb_knn_brute_force(spark, "/root/testdata/sf0.001")
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    out = pq.ivfpq_topk(
+        emb, books, cells, n_queries=10, top_k=3, shortlist=20
+    ).select("query_id", "neighbor_id")
+    hits = out.join(bf, ["query_id", "neighbor_id"]).count()
+    assert hits >= 8, f"IVF+PQ recall too low: {hits}/30"
+
+
+def test_ivfpq_subset_of_cell_candidates(spark, emb, books):
+    """Every returned neighbor must share a probed cell with its
+    query — the pruning contract."""
+    from debezium_connector_ibmi_spark.queries.embeddingops import (
+        _ivf_assign_cells,
+    )
+
+    cells = _ivf_assign_cells(emb).select("vec_id", "cell")
+    out = pq.ivfpq_topk(
+        emb, books, cells, n_queries=10, top_k=3, shortlist=20
+    )
+    qc = cells.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "cell", "qcell"
+    )
+    nc = cells.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+        "cell", "ncell"
+    )
+    bad = (
+        out.join(qc, "query_id")
+        .join(nc, "neighbor_id")
+        .filter(F.col("qcell") != F.col("ncell"))
+        .count()
+    )
+    assert bad == 0
