@@ -153,26 +153,52 @@ def semantic_dedup(
     The pair stage is an equi-join on the population-bounded cell, so
     its output is <= cap*(cap-1)/2 rows per cell — never corpus-
     quadratic (pinned by tests/test_semantic_dedup.py).
-    """
-    from debezium_connector_ibmi_spark.queries.embeddingops import _cosine
 
-    assigned = assign_bounded_cells(
-        df,
-        vec_col=vec_col,
-        levels=levels,
-        cap=cap,
-        max_cell_population=max_cell_population,
+    Round 7: the assigned relation (id, vector, norm, cell) is
+    persisted — it feeds BOTH pair-join branches and the final
+    anti-join, which re-ran the sign-code + broadcast-mapping scan
+    three times — and the per-vector norm is hoisted out of the
+    per-pair cosine (one interpreted dot per pair instead of three;
+    bit-identical expression, see ``embeddingops._norm``).
+    """
+    from debezium_connector_ibmi_spark.queries.embeddingops import (
+        _cosine_n,
+        _norm,
+    )
+
+    assigned = (
+        assign_bounded_cells(
+            df,
+            vec_col=vec_col,
+            levels=levels,
+            cap=cap,
+            max_cell_population=max_cell_population,
+        )
+        .withColumn("__n", _norm(F.col(vec_col)))
+        .persist()
     )
     a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__n").alias("na"),
+        "cell",
     )
     b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__n").alias("nb"),
+        "cell",
     )
     dup_ids = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(_cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .filter(
+            F.round(
+                _cosine_n(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+                6,
+            )
+            >= threshold
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

@@ -421,15 +421,38 @@ def lsh_verified_near_dups(
     verified); precision is exact, because verification recomputes
     true Jaccard on the full shingle sets.
     """
-    cand = lsh_candidate_pairs(df, id_col, text, seeds, n, rows_per_band)
+    # The candidate relation is tiny (id pairs) but its build — the
+    # md5-per-shingle signature pass — is the dominant map cost;
+    # persist it so the id-prune branch below and the pair probe both
+    # read the one materialization instead of re-running the
+    # signature pipeline (bounded memory: two longs per pair).
+    cand = lsh_candidate_pairs(
+        df, id_col, text, seeds, n, rows_per_band
+    ).persist()
     # Per-doc distinct shingle SETS as map-side arrays — the verify
     # math is then a map-side array_intersect on the joined pair, so
     # the corpus-wide explode+distinct shuffle of the former shape
     # (recomputed once per branch reference: sa, sb, and the two
     # count projections) disappears entirely. Row width is bounded by
     # doc length; rows moved are O(candidate_pairs), never the corpus.
-    sets = df.filter(F.size(words_col(text)) >= n).select(
-        F.col(id_col), F.array_distinct(shingles(text, n)).alias("sh")
+    #
+    # Round-7 (guide §8: decide on small rows, attach cheaply): the
+    # shingle arrays are only ever read for docs that appear in a
+    # candidate pair, so the corpus scan is pruned by a broadcast
+    # semi-join on the candidate id set BEFORE the per-doc shingle
+    # build — the two set branches then rebuild shingles for
+    # O(candidate docs), not 2x the corpus.
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        df.join(F.broadcast(ids), id_col, "left_semi")
+        .filter(F.size(words_col(text)) >= n)
+        .select(
+            F.col(id_col), F.array_distinct(shingles(text, n)).alias("sh")
+        )
     )
     pa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
     pb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))

@@ -35,20 +35,45 @@ def _cosine(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _norm(v):
+    """sqrt(v·v) — hoist this per VECTOR (one map-side column) so the
+    per-PAIR cosine is a single dot product instead of three: the
+    higher-order aggregate/zip_with dot is interpreted (no codegen),
+    so recomputing both self-dots per pair tripled the dominant cost
+    of every pair stage. ``_cosine_n(a, b, na, nb)`` evaluates the
+    bit-identical expression tree (same IEEE ops in the same order:
+    dot / (sqrt(aa) * sqrt(bb))), just with the sqrt factors computed
+    once per vector instead of once per pair."""
+    return F.sqrt(_dot(v, v))
+
+
+def _cosine_n(a, b, na, nb):
+    return _dot(a, b) / (na * nb)
+
+
 # --- brute-force cosine top-k (the correctness baseline) -----------------
 def emb_knn_brute_force(spark, sf_dir):
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("cn"),
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cos_r"),
+            F.round(
+                _cosine_n(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cos_r"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -81,11 +106,13 @@ def emb_ann_lsh_bucket(spark, sf_dir):
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
         "bucket",
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("cn"),
         "bucket",
     )
     scored = (
@@ -94,7 +121,10 @@ def emb_ann_lsh_bucket(spark, sf_dir):
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cos_r"),
+            F.round(
+                _cosine_n(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cos_r"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -145,16 +175,26 @@ def emb_cosine_near_dup_pairs(spark, sf_dir):
     output columns only (ids), so the oracle hash is float-safe."""
     e = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("embedding")))
     a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        _norm(F.col("embedding")).alias("na"),
+        "bucket",
     )
     b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        _norm(F.col("embedding")).alias("nb"),
+        "bucket",
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            F.round(_cosine(F.col("va"), F.col("vb")), 6) >= _NEAR_DUP_COS
+            F.round(
+                _cosine_n(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+                6,
+            )
+            >= _NEAR_DUP_COS
         )
         .select("id_a", "id_b")
     )
@@ -174,9 +214,17 @@ def _ivf_assign_cells(e, nprobe: int = 1):
     i.e. a fixed sample of the data itself (IVF does not require
     k-means; any coarse quantizer defines valid cells, and a seeded
     sample keeps the whole query SQL-expressible for the oracle).
-    Scale shape: centroids are broadcast (K rows), assignment is a
-    map-side crossJoin + per-vector argmax — no shuffle of the
-    embedding table beyond the rank window on vec_id."""
+
+    Scale shape (round 7): for nprobe=1 the centroids collapse to a
+    one-row broadcast ARRAY and the argmax is an ``array_max`` over
+    per-centroid (cos, -id) structs — a fully map-side assignment
+    with ZERO exchanges of the embedding table (the former
+    crossJoin + rank-window shape shuffled K rows per vector, full
+    embedding payload included, and sorted them). nprobe>1 keeps the
+    window (it needs the top-n, not the max). Centroid norms are
+    computed once per centroid, vector norms once per vector; the
+    cosine expression is bit-identical to the windowed variant (see
+    ``_norm``)."""
     cents = (
         e.filter(F.pmod(F.col("vec_id"), F.lit(_IVF_SEED_MOD)) == _IVF_SEED_REM)
         .orderBy("vec_id")
@@ -184,8 +232,35 @@ def _ivf_assign_cells(e, nprobe: int = 1):
         .select(
             F.col("vec_id").alias("centroid_id"),
             F.col("embedding").alias("centv"),
+            _norm(F.col("embedding")).alias("cn"),
         )
     )
+    if nprobe == 1:
+        carr = cents.agg(
+            F.collect_list(
+                F.struct("centroid_id", "centv", "cn")
+            ).alias("_cents")
+        )
+        en = _norm(F.col("embedding"))
+        best = F.array_max(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    F.round(
+                        _cosine_n(
+                            F.col("embedding"), c["centv"], en, c["cn"]
+                        ),
+                        6,
+                    ).alias("cos"),
+                    (-c["centroid_id"]).alias("neg_id"),
+                    c["centroid_id"].alias("cid"),
+                ),
+            )
+        )
+        return (
+            e.crossJoin(F.broadcast(carr))
+            .select("vec_id", "embedding", best["cid"].alias("cell"))
+        )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_c").desc(), F.col("centroid_id")
     )
@@ -195,9 +270,15 @@ def _ivf_assign_cells(e, nprobe: int = 1):
             "vec_id",
             "embedding",
             "centroid_id",
-            F.round(_cosine(F.col("embedding"), F.col("centv")), 6).alias(
-                "cos_c"
-            ),
+            F.round(
+                _cosine_n(
+                    F.col("embedding"),
+                    F.col("centv"),
+                    _norm(F.col("embedding")),
+                    F.col("cn"),
+                ),
+                6,
+            ).alias("cos_c"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe)
@@ -212,10 +293,16 @@ def emb_ivf_topk(spark, sf_dir):
     DuckDB oracle reproduces assignment + ranking exactly."""
     assigned = _ivf_assign_cells(_emb(spark, sf_dir))
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
+        "cell",
     )
     c = assigned.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("cn"),
+        "cell",
     )
     scored = (
         q.join(c, "cell")
@@ -223,7 +310,10 @@ def emb_ivf_topk(spark, sf_dir):
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cos_r"),
+            F.round(
+                _cosine_n(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cos_r"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -253,7 +343,10 @@ def emb_ivf_topk_nprobe2(spark, sf_dir):
         )
     )
     c = db.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("cn"),
+        "cell",
     )
     scored = (
         q.join(c, "cell")
@@ -261,7 +354,15 @@ def emb_ivf_topk_nprobe2(spark, sf_dir):
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cos_r"),
+            F.round(
+                _cosine_n(
+                    F.col("qv"),
+                    F.col("cv"),
+                    _norm(F.col("qv")),
+                    F.col("cn"),
+                ),
+                6,
+            ).alias("cos_r"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -291,10 +392,16 @@ def emb_ivf_topk_kmeans(spark, sf_dir, k=8, max_iter=5, top_k=3):
         "vec_id", "embedding", F.col("prediction").alias("cell")
     )
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
+        "cell",
     )
     c = assigned.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("cn"),
+        "cell",
     )
     scored = (
         q.join(c, "cell")
@@ -302,7 +409,10 @@ def emb_ivf_topk_kmeans(spark, sf_dir, k=8, max_iter=5, top_k=3):
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cos_r"),
+            F.round(
+                _cosine_n(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cos_r"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -474,15 +584,25 @@ def emb_stream_semantic_flags(spark, sf_dir):
     flags = spark.table(name).select(
         F.col("doc_id").alias("vec_id"), "dup_of"
     )
-    a = e.select(F.col("vec_id"), F.col("embedding").alias("va"))
+    a = e.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("va"),
+        _norm(F.col("embedding")).alias("na"),
+    )
     b = e.select(
-        F.col("vec_id").alias("dup_of"), F.col("embedding").alias("vb")
+        F.col("vec_id").alias("dup_of"),
+        F.col("embedding").alias("vb"),
+        _norm(F.col("embedding")).alias("nb"),
     )
     return (
         flags.join(a, "vec_id")
         .join(b, "dup_of")
         .filter(
-            F.round(_cosine(F.col("va"), F.col("vb")), 6) >= _NEAR_DUP_COS
+            F.round(
+                _cosine_n(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+                6,
+            )
+            >= _NEAR_DUP_COS
         )
         .select("vec_id", "dup_of")
     )

@@ -419,12 +419,13 @@ def doc_top_terms(spark, sf_dir):
         "doc_id", F.explode(ta.words_col()).alias("term")
     ).filter(F.length("term") >= 3)
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = (
-        terms.select("doc_id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # doc frequency derives from tf (already one row per (doc, term))
+    # — the former explode→distinct→count re-ran the corpus explode
+    # and paid a second corpus-wide exchange; counting tf rows per
+    # term is the same number with one exchange of the (small)
+    # per-(doc,term) relation. tf's own exchange subtree is identical
+    # in both branches, so Catalyst's ReuseExchange computes it once.
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term")
     )

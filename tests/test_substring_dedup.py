@@ -119,27 +119,80 @@ def _plan(df) -> str:
     )
 
 
-def test_detection_is_single_exchange_no_pair_join(spark):
-    """The 100 TB contract: dup-site detection = ONE build of the
-    site relation and ONE gram-keyed shuffle (count/min window over
-    gram partitions), NO join and NO pair expansion — the former
-    groupBy+join-back shape rebuilt the map-side gram stage on both
-    join branches (differing exchange subtrees defeat ReuseExchange);
-    hot boilerplate grams route to one window group exactly as they
-    would route to one join partition, never pairwise-expanded."""
+def test_detection_site_relation_never_shuffled(spark):
+    """The 100 TB contract (round-7, VERDICT r6 #1): dup-site
+    detection never exchanges the SITE relation and never expands
+    pairs. Gram stats are a map-side-combining hash aggregation (a
+    hot boilerplate gram collapses to <= 1 partial row per map task
+    before its exchange — the former count-over-gram-partitions
+    window shipped every site of a hot gram to one WindowExec task),
+    and the dup-gram stats broadcast back onto the sites. The only
+    hashpartitioning exchange in the plan is the stats agg's, keyed
+    on the gram key; the probe-side site build is map-only."""
     df = _docs(spark, [_toks(12, "a"), _toks(12, "b")])
     plan = _plan(sd.dup_window_sites(df, k=4))
     import re
 
     exchanges = re.findall(r"hashpartitioning\(([a-z_]+)", plan)
-    assert exchanges == ["gram"], exchanges  # exactly ONE, on gram
-    # formatted mode prints each operator in the tree AND a detail
-    # header "(n) Generate" — count detail headers
-    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, (
-        "site relation built twice"
+    assert exchanges == ["gram"], exchanges  # stats agg only
+    assert "BroadcastHashJoin" in plan
+    # map-side partial combine ahead of the stats exchange
+    assert "partial_count" in plan
+    # no full-group window over gram partitions, no pair expansion
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gram_key_hash_equals_string(spark):
+    """``gram_key="hash"`` (xxhash64 stats/join keys — the 10^10+
+    windows shuffle-byte cut promised by the module docstring) yields
+    identical results to the exact string keys."""
+    docs = _docs(
+        spark,
+        [
+            _toks(30, "a"),
+            _toks(30, "a"),  # full dup
+            _toks(12, "b") + " " + _toks(8, "a"),
+            _toks(25, "c"),
+        ],
     )
-    assert "Window" in plan
-    assert "Join" not in plan and "CartesianProduct" not in plan
+    for fn in (
+        lambda d, **kw: sd.dup_spans(d, k=4),
+        lambda d, **kw: sd.remove_dup_spans(d, k=4),
+    ):
+        import debezium_connector_ibmi_spark.operators.substring_dedup as m
+
+        old = m.DEFAULT_GRAM_KEY
+        try:
+            m.DEFAULT_GRAM_KEY = "string"
+            a = sorted(map(tuple, fn(docs).collect()))
+            m.DEFAULT_GRAM_KEY = "hash"
+            b = sorted(map(tuple, fn(docs).collect()))
+        finally:
+            m.DEFAULT_GRAM_KEY = old
+        assert a == b
+
+
+def test_stats_join_shuffle_equals_broadcast(spark):
+    """``stats_join="shuffle"`` (the dup-gram-stats-outgrow-memory
+    regime) yields identical results to the broadcast default."""
+    docs = _docs(
+        spark,
+        [_toks(30, "a"), _toks(30, "a"), _toks(25, "c")],
+    )
+    a = sorted(
+        map(
+            tuple,
+            sd.dup_window_sites(docs, k=4, stats_join="broadcast").collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            sd.dup_window_sites(docs, k=4, stats_join="shuffle").collect(),
+        )
+    )
+    assert a == b and len(a) > 0
 
 
 def test_spans_match_bruteforce_on_generated_corpus(spark):
