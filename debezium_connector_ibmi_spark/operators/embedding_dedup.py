@@ -155,11 +155,13 @@ def semantic_dedup(
     quadratic (pinned by tests/test_semantic_dedup.py).
 
     Round 7: the assigned relation (id, vector, norm, cell) is
-    persisted — it feeds BOTH pair-join branches and the final
-    anti-join, which re-ran the sign-code + broadcast-mapping scan
-    three times — and the per-vector norm is hoisted out of the
-    per-pair cosine (one interpreted dot per pair instead of three;
-    bit-identical expression, see ``embeddingops._norm``).
+    lazily local-checkpointed — it feeds BOTH pair-join branches and
+    the final anti-join, which re-ran the sign-code +
+    broadcast-mapping scan three times (localCheckpoint rather than
+    persist: no session-global CacheManager registration) — and the
+    per-vector norm is hoisted out of the per-pair cosine (one
+    interpreted dot per pair instead of three; bit-identical
+    expression, see ``embeddingops._norm``).
     """
     from debezium_connector_ibmi_spark.queries.embeddingops import (
         _cosine_n,
@@ -175,7 +177,7 @@ def semantic_dedup(
             max_cell_population=max_cell_population,
         )
         .withColumn("__n", _norm(F.col(vec_col)))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     a = assigned.select(
         F.col(id_col).alias("id_a"),

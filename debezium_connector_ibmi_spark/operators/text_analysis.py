@@ -422,13 +422,18 @@ def lsh_verified_near_dups(
     true Jaccard on the full shingle sets.
     """
     # The candidate relation is tiny (id pairs) but its build — the
-    # md5-per-shingle signature pass — is the dominant map cost;
-    # persist it so the id-prune branch below and the pair probe both
-    # read the one materialization instead of re-running the
-    # signature pipeline (bounded memory: two longs per pair).
-    cand = lsh_candidate_pairs(
-        df, id_col, text, seeds, n, rows_per_band
-    ).persist()
+    # md5-per-shingle signature pass — is the dominant map cost, and
+    # it feeds THREE consumers (the id-prune branch twice, the pair
+    # probe once). A lazy localCheckpoint materializes it once at
+    # first use and lets every consumer read the stored blocks —
+    # without persist()'s session-global CacheManager registration,
+    # which would leak plan-matching cache state into every later
+    # query of the session (bounded storage: two longs per pair).
+    import os as _os
+
+    cand = lsh_candidate_pairs(df, id_col, text, seeds, n, rows_per_band)
+    if _os.environ.get("SPARK_GRAFT_LSH_CKPT", "1") != "0":
+        cand = cand.localCheckpoint(eager=False)
     # Per-doc distinct shingle SETS as map-side arrays — the verify
     # math is then a map-side array_intersect on the joined pair, so
     # the corpus-wide explode+distinct shuffle of the former shape

@@ -51,25 +51,25 @@ from debezium_connector_ibmi_spark.sources.journal_source import read_journal
 # reverts from Observation conditional aggregates to its own job
 LINEAGE_OBSERVE_MAX_RECEIVERS = 64
 
-# fold the cow sink's touched-bucket discovery into the action that
-# materializes the batch cache (Observation collect_set — map-side, no
-# exchange). False reverts to the sink's own distinct+collect job.
-TOUCHED_BUCKETS_VIA_OBSERVE = True
-
-# The fold runs UNCONDITIONALLY whenever the batch is persisted (cow
-# paths). A round-5 gate skipped it above 1M planned entries on the
-# theory that the noop pass's full-width scan loses to the sink's
-# key-column-only fallback discovery on bulk batches — but a persisted
-# DataFrame materializes ALL columns on its FIRST action regardless of
-# which column that action reads, so the fallback's first job pays the
-# same full-width cache fill and then the merge still needs its own
-# pass: the fold is strictly one scheduled job cheaper. Re-measured
-# round 6 on the 16.3M-entry single-batch scaling workload
-# (protocol-pinned journal, taskset-pinned): fold beats the gated
-# fallback at every level — 180.8s vs 199.3s (2 cores), 53.4s vs
-# 58.5s (8 cores), 176.5s vs 210.0s (32 cores, 64g-heap GC noise but
-# same direction). The r5 "~12%" figure predates the fold riding the
-# cache fill (75ca076) and measured the old separate-exchange shape.
+# compute the cow sink's touched-bucket set with a NARROW pre-pass
+# over the raw slice (key column only — payload columns never read)
+# instead of persisting the decoded batch and riding discovery on its
+# cache-fill action. DEFAULT False: measured round 7 (A/B, 3
+# interleaved rounds on the 4M-op bench journal, local[32]) the
+# persist+fill shape is both faster and far more stable —
+# persist+fill 8.2-10.8s total with every batch 1.9-3.3s, narrow
+# 11.2-32.9s with bimodal batches (2.2-3.3s normally, 8-12s GC/stall
+# spikes when the scan+decode+merge+write pipeline runs as one long
+# action). The theory for narrow (bucket set of the compacted batch
+# == bucket set of the filtered slice's raw keys, so a key-only scan
+# suffices and the decode pipeline executes exactly once, nothing
+# persisted) is sound, but one fused action serializes the Python
+# decode stage with the state read + window + bucket write inside a
+# single scheduling wave, and the measured tail is worse than the
+# cache-fill shape's extra materialization. Kept as a flag so the
+# A/B stays reproducible (tests/test_plan_shape.py pins result
+# equivalence of both shapes).
+TOUCHED_BUCKETS_NARROW = False
 
 
 def _mor_compact_due(cfg, target, n_done: int, stats: dict) -> bool:
@@ -89,21 +89,15 @@ def _mor_compact_due(cfg, target, n_done: int, stats: dict) -> bool:
 
 
 def _fill_cache_collect_touched(batch, target) -> list[int] | None:
-    """Materialize a persisted cow batch and return its bucket set.
-
-    The cache needs SOME first action before the merge write; ride the
+    """Materialize a persisted cow batch (noop write) and ride the
     touched-bucket discovery on it as a map-side ``collect_set``
-    Observation so the sink can skip its own ``distinct().collect()``
-    (one exchange / one scheduling stage fewer per micro-batch — the
-    same trick as ``_observe_lineage``). The action is a noop-format
-    write: the one action shape that is a single job/stage (count()
-    shuffles to one partition and AQE splits it into two jobs) and
-    still fires observations. Driver state is bounded: the set size is
-    <= target.num_buckets. Returns None (sink falls back to its own
-    discovery) when disabled or when the metrics row is unavailable.
-    """
-    if not TOUCHED_BUCKETS_VIA_OBSERVE:
-        return None
+    Observation — the default cow shape (one cache-fill action + one
+    merge-from-cache action per batch; see the
+    ``TOUCHED_BUCKETS_NARROW`` A/B note for why this beats the
+    single-action narrow-discovery variant). Driver state is bounded:
+    the set size is <= target.num_buckets. Returns None (sink falls
+    back to its own discovery) for custom targets or when the
+    metrics row is unavailable."""
     if not (hasattr(target, "_bucket_col") and hasattr(target, "key")):
         return None  # custom target: let it do its own discovery
     from pyspark.sql import Observation
@@ -121,25 +115,59 @@ def _fill_cache_collect_touched(batch, target) -> list[int] | None:
     return [int(b) for b in m["touched"]]
 
 
-def _observation_metrics(obs) -> dict | None:
+def _touched_buckets_narrow(sliced, cfg, target) -> list[int] | None:
+    """Touched-bucket set from a key-column-only pass over the raw
+    slice (see the ``TOUCHED_BUCKETS_NARROW`` note): the compacted
+    batch's key set equals the filtered slice's key set, so the
+    discovery scan reads ONLY the key column (predicates stay pushed,
+    payload columns never leave the parquet footer stats) and the
+    distinct collapses map-side to <= num_buckets values per task.
+    Returns None for custom targets (sink does its own discovery)."""
+    if not (hasattr(target, "_bucket_col") and hasattr(target, "key")):
+        return None
+    from debezium_connector_ibmi_spark.functions.optype import op_type_col
+    from debezium_connector_ibmi_spark.operators.filters import (
+        apply_standard_filters,
+    )
+
+    keys = (
+        apply_standard_filters(sliced, cfg)
+        .where(op_type_col().isin("c", "u", "d"))
+        .select(target._bucket_col(F.col(target.key)).alias("b"))
+        .distinct()
+    )
+    return sorted(int(r["b"]) for r in keys.collect())
+
+
+def _observation_metrics(obs, timeout_s: float = 2.0) -> dict | None:
     """Bounded resolution of a PySpark Observation: the metrics dict
-    if the observed plan's first action has ALREADY completed, else
-    None (caller falls back to a dedicated aggregation).
+    if the observed plan's first action has completed (waiting up to
+    ``timeout_s`` for the listener bus to deliver it), else None
+    (caller falls back to a dedicated aggregation).
 
     ``Observation.get`` blocks indefinitely until the observed plan's
     first action — a sink whose commit path never executes an action
     over the batch (e.g. a custom target that short-circuits) would
     hang the provider instead of falling back (round-4 ADVICE). The
-    JVM object's ``future().isCompleted()`` is a zero-wait completion
-    probe; ``get`` after a completed future returns immediately. Any
+    JVM object's ``future().isCompleted()`` is the completion probe;
+    ``get`` after a completed future returns immediately. Every
+    caller probes AFTER its own action returned, so the metrics event
+    is normally already delivered — but delivery rides the async
+    listener bus, and the former zero-wait probe raced it (measured:
+    the cold session's first batch intermittently resolved None and
+    paid the fallback aggregation jobs for nothing). The bounded poll
+    keeps the no-hang guarantee while closing that race. Any
     resolution error (including the empty-relation-collapsed
     schemaless metrics row) also returns None."""
     jo = getattr(obs, "_jo", None)
     if jo is None:
         return None  # observe() never attached
     try:
-        if not jo.future().isCompleted():
-            return None
+        deadline = time.time() + timeout_s
+        while not jo.future().isCompleted():
+            if time.time() >= deadline:
+                return None
+            time.sleep(0.02)
         return obs.get
     except Exception:
         return None
@@ -399,14 +427,23 @@ class JournalTailer:
                 import shutil
 
                 shutil.rmtree(qpath, ignore_errors=True)
-        # persist: the cow sink takes 2 actions over the batch (cache
-        # materialization + merge write); without this the whole decode
-        # pipeline would re-execute per action. The mor sink's write
-        # IS its only action — caching would be pure overhead.
+        # cow: the merge needs the touched-bucket set at PLAN time.
+        # Default shape: persist the batch, ride discovery on the
+        # cache-fill action (measured fastest + most stable — see the
+        # TOUCHED_BUCKETS_NARROW note for the single-action A/B). The
+        # mor sink's write IS its only action — no discovery needed
+        # (touched = written partition dirs), caching pure overhead.
         batch = prepare_batch(sliced_obs, self.cfg)
-        cache = getattr(self.target, "write_mode", "cow") == "cow"
+        cache = (
+            getattr(self.target, "write_mode", "cow") == "cow"
+            and not TOUCHED_BUCKETS_NARROW
+        )
         touched = None
-        if cache:
+        if TOUCHED_BUCKETS_NARROW and (
+            getattr(self.target, "write_mode", "cow") == "cow"
+        ):
+            touched = _touched_buckets_narrow(sliced, self.cfg, self.target)
+        elif cache:
             batch = batch.persist()
             touched = _fill_cache_collect_touched(batch, self.target)
         merge_kwargs = {} if touched is None else {"touched": touched}
@@ -752,20 +789,23 @@ def run_structured_stream(
             obs,
             F.max(F.struct(F.col("receiver_idx"), F.col("seq"))).alias("w"),
         )
-        # persist: the cow sink takes two actions over the batch; the
-        # mor sink's single write action needs no cache
-        cache = getattr(target, "write_mode", "cow") == "cow"
+        # cow: same default persist+fill shape as the tailer (see the
+        # TOUCHED_BUCKETS_NARROW A/B note); the cache-fill action
+        # also fires the watermark Observation above (it sits below
+        # prepare_batch in the observed plan). The mor sink's single
+        # write action needs no discovery at all.
+        cache = (
+            getattr(target, "write_mode", "cow") == "cow"
+            and not TOUCHED_BUCKETS_NARROW
+        )
         batch = prepare_batch(observed, cfg)
         touched = None
-        if cache:
+        if TOUCHED_BUCKETS_NARROW and (
+            getattr(target, "write_mode", "cow") == "cow"
+        ):
+            touched = _touched_buckets_narrow(df, cfg, target)
+        elif cache:
             batch = batch.persist()
-            # unconditional, like the tailer path (see the
-            # TOUCHED_BUCKETS_VIA_OBSERVE note): the persisted batch
-            # pays a full-width cache fill on its first action either
-            # way, so riding the fold on it is strictly one job
-            # cheaper than the sink's fallback discovery. Also fires
-            # the watermark Observation above (it sits below
-            # prepare_batch in the observed plan).
             touched = _fill_cache_collect_touched(batch, target)
 
         def wm_provider():

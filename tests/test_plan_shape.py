@@ -128,15 +128,26 @@ def test_flagship_queries_use_max_by_agg(spark):
 
 
 def test_near_dup_verified_is_banded(spark):
-    """doc_near_dup_verified must join on LSH bands (melted
+    """The near-dup candidate stage must join on LSH bands (melted
     (band_idx, band) equi-join), never the all-pairs shingle
-    self-join — the round-1 scale-killer."""
+    self-join — the round-1 scale-killer. Round 7: the candidate
+    relation inside doc_near_dup_verified is local-checkpointed (one
+    signature build for its three consumers), so the banded shape is
+    pinned on the candidate builder itself, and the outer plan is
+    pinned to read the checkpointed candidates (ExistingRDD scan,
+    signature pass NOT re-run downstream)."""
+    from debezium_connector_ibmi_spark.operators.text_analysis import (
+        lsh_candidate_pairs,
+    )
     from debezium_connector_ibmi_spark.queries.textops import (
         doc_near_dup_verified,
     )
 
-    plan = _plan(doc_near_dup_verified(spark, "/root/testdata/sf0.001"))
-    assert "band_idx" in plan, "banded candidate join missing from plan"
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cand_plan = _plan(lsh_candidate_pairs(docs))
+    assert "band_idx" in cand_plan, "banded candidate join missing"
+    outer = _plan(doc_near_dup_verified(spark, "/root/testdata/sf0.001"))
+    assert "ExistingRDD" in outer, "candidates not checkpointed"
 
 
 def test_lsh_pairs_single_signature_pass(spark):
@@ -159,15 +170,19 @@ def test_near_dup_verify_no_shingle_explode(spark):
     """The Jaccard verify stage must be a map-side array_intersect on
     joined per-doc shingle SETS — the former exploded-distinct
     shingle relation shuffled the whole corpus and was recomputed
-    once per branch reference (round-5 fix). md5 once = the LSH
-    signature is also still a single pass end-to-end."""
+    once per branch reference (round-5 fix). Round 7: the signature
+    pass lives entirely inside the checkpointed candidate relation,
+    so the OUTER plan must contain NO md5 at all (zero signature
+    re-runs downstream) and the shingle-set build must be pruned by a
+    broadcast semi-join on the candidate ids."""
     from debezium_connector_ibmi_spark.queries.textops import (
         doc_near_dup_verified,
     )
 
     plan = _plan(doc_near_dup_verified(spark, "/root/testdata/sf0.001"))
     assert "array_intersect" in plan, "verify regressed off the set path"
-    assert plan.count("md5") == 1, "signature computed more than once"
+    assert plan.count("md5") == 0, "signature re-run outside checkpoint"
+    assert "LeftSemi" in plan, "candidate-id prune of the set build missing"
 
 
 def test_compaction_single_shuffle(spark, journal_path):
@@ -324,21 +339,22 @@ def test_lineage_rides_merge_jobs(spark, tmpdir_path):
     )
 
 
-def test_touched_buckets_ride_cache_fill(spark, tmpdir_path):
-    """Round-5 (VERDICT r4 #3): the cow sink's touched-bucket discovery
-    rides the batch-cache materialization as a map-side collect_set
-    Observation — fewer jobs AND fewer stages per micro-batch than the
-    sink's own distinct().collect() (which costs an exchange), with
-    IDENTICAL target state, watermark, and lineage."""
+def test_touched_buckets_shapes_equivalent(spark, tmpdir_path):
+    """The cow sink's two touched-bucket discovery shapes — the
+    default persist + cache-fill collect_set Observation (round 5,
+    measured fastest/most stable in the round-7 A/B) and the
+    key-column-only narrow pre-pass (TOUCHED_BUCKETS_NARROW=True,
+    kept for the A/B) — produce IDENTICAL target state, watermark,
+    and lineage. The narrow run must also never persist the batch."""
     from debezium_connector_ibmi_spark import streaming
     from debezium_connector_ibmi_spark.streaming.engine import JournalTailer
 
     jdir = f"{tmpdir_path}/j"
     write_journal(spark, GEN, jdir, num_files=2)
 
-    def run(target_path, group, fold):
-        orig = streaming.engine.TOUCHED_BUCKETS_VIA_OBSERVE
-        streaming.engine.TOUCHED_BUCKETS_VIA_OBSERVE = fold
+    def run(target_path, narrow):
+        orig = streaming.engine.TOUCHED_BUCKETS_NARROW
+        streaming.engine.TOUCHED_BUCKETS_NARROW = narrow
         cfg = EngineConfig(
             journal_path=jdir,
             target_path=target_path,
@@ -346,25 +362,17 @@ def test_touched_buckets_ride_cache_fill(spark, tmpdir_path):
             max_entries_per_batch=100,
         )
         tailer = JournalTailer(spark, cfg)
-        sc = spark.sparkContext
-        sc.setJobGroup(group, group)
         try:
             out = tailer.run_to_head()
         finally:
-            sc.setLocalProperty("spark.jobGroup.id", None)
-            streaming.engine.TOUCHED_BUCKETS_VIA_OBSERVE = orig
-        jobs = sc.statusTracker().getJobIdsForGroup(group)
-        stages = sum(
-            len(sc.statusTracker().getJobInfo(j).stageIds) for j in jobs
-        )
+            streaming.engine.TOUCHED_BUCKETS_NARROW = orig
         rows = sorted(map(tuple, tailer.target.read().collect()))
         return (
-            out, len(jobs), stages, rows,
-            tailer.target.watermark(), tailer.target.lineage(),
+            out, rows, tailer.target.watermark(), tailer.target.lineage(),
         )
 
-    o1, j1, s1, r1, w1, l1 = run(f"{tmpdir_path}/t_fold", "g-tb-fold", True)
-    o2, j2, s2, r2, w2, l2 = run(f"{tmpdir_path}/t_disc", "g-tb-disc", False)
+    o1, r1, w1, l1 = run(f"{tmpdir_path}/t_fill", False)
+    o2, r2, w2, l2 = run(f"{tmpdir_path}/t_narrow", True)
 
     n_batches = sum(1 for s in o1 if "events" in s)
     assert n_batches >= 2
@@ -374,10 +382,11 @@ def test_touched_buckets_ride_cache_fill(spark, tmpdir_path):
         (r["receiver_idx"], r["seq"], r["events_applied"]) for r in rows
     )
     assert key(l1) == key(l2)
-    # the distinct path pays >= 1 extra stage per batch (its exchange);
-    # the fold must also never cost MORE jobs
-    assert s2 - s1 >= n_batches
-    assert j1 <= j2
+    # both modes computed real touched sets (buckets recorded in the
+    # merge commits)
+    assert all(
+        s.get("buckets_touched") for s in o2 if "events" in s
+    )
 
 
 def test_semantic_dedup_broadcasts_cell_mapping(spark):
@@ -390,6 +399,15 @@ def test_semantic_dedup_broadcasts_cell_mapping(spark):
         emb_semantic_dedup,
     )
 
-    plan = _plan(emb_semantic_dedup(spark, "/root/testdata/sf0.001"))
-    assert "BroadcastHashJoin" in plan, "cell mapping not broadcast"
-    assert "cell" in plan, "pair stage not on the bounded cell"
+    from debezium_connector_ibmi_spark.operators.embedding_dedup import (
+        assign_bounded_cells,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    inner = _plan(assign_bounded_cells(emb))
+    assert "BroadcastHashJoin" in inner, "cell mapping not broadcast"
+    # the outer pair stage joins on the population-bounded cell of
+    # the (checkpointed) assigned relation
+    outer = _plan(emb_semantic_dedup(spark, "/root/testdata/sf0.001"))
+    assert "cell" in outer, "pair stage not on the bounded cell"
+    assert "ExistingRDD" in outer, "assigned relation not checkpointed"
