@@ -21,6 +21,14 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_par(spark, sf_dir):
+    """Single-row-group scan spread over the default parallelism for
+    map-heavy queries — same rationale as queries/textops._docs_par."""
+    return _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # ---------------------------------------------------------------- PII
 
 def doc_pii_scrub(spark, sf_dir):
@@ -117,7 +125,7 @@ def doc_chunk_dedup(spark, sf_dir):
     20-token windows): per doc, how many chunks survive global
     first-occurrence dedup."""
     return co.chunk_dedup_stats(
-        _docs(spark, sf_dir), chunk_size=_CD_CHUNK, overlap=0
+        _docs_par(spark, sf_dir), chunk_size=_CD_CHUNK, overlap=0
     )
 
 

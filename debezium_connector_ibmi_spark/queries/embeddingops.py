@@ -23,6 +23,18 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _emb_par(spark, sf_dir):
+    """Embeddings spread over the default parallelism: the testdata
+    table is one single-row-group parquet file, so any per-vector map
+    stage (norms, sign codes, centroid argmax, brute-force pair
+    scoring against broadcast queries) serializes on ONE core until
+    its first exchange. Same rationale as queries/textops._docs_par.
+    """
+    return _emb(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -53,7 +65,7 @@ def _cosine_n(a, b, na, nb):
 
 # --- brute-force cosine top-k (the correctness baseline) -----------------
 def emb_knn_brute_force(spark, sf_dir):
-    e = _emb(spark, sf_dir)
+    e = _emb_par(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -102,7 +114,9 @@ def _bucket(col):
 
 
 def emb_ann_lsh_bucket(spark, sf_dir):
-    e = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("embedding")))
+    e = _emb_par(spark, sf_dir).withColumn(
+        "bucket", _bucket(F.col("embedding"))
+    )
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -173,7 +187,9 @@ def emb_cosine_near_dup_pairs(spark, sf_dir):
     """Near-dup detection on embeddings: candidate pairs from the
     sign-LSH bucket join, verified by cosine >= threshold. Integer
     output columns only (ids), so the oracle hash is float-safe."""
-    e = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("embedding")))
+    e = _emb_par(spark, sf_dir).withColumn(
+        "bucket", _bucket(F.col("embedding"))
+    )
     a = e.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
@@ -291,7 +307,7 @@ def emb_ivf_topk(spark, sf_dir):
     search each query only in its own cell (nprobe=1), rank by
     cosine. Deterministic quantizer (see _ivf_assign_cells) so the
     DuckDB oracle reproduces assignment + ranking exactly."""
-    assigned = _ivf_assign_cells(_emb(spark, sf_dir))
+    assigned = _ivf_assign_cells(_emb_par(spark, sf_dir))
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -331,7 +347,7 @@ def emb_ivf_topk_nprobe2(spark, sf_dir):
     two nearest cells (the database side stays single-cell), trading
     2× candidate volume for recall. Same deterministic quantizer, so
     the oracle reproduces it."""
-    e = _emb(spark, sf_dir)
+    e = _emb_par(spark, sf_dir)
     db = _ivf_assign_cells(e)
     q = (
         _ivf_assign_cells(e, nprobe=2)
@@ -522,7 +538,7 @@ def emb_semantic_dedup(spark, sf_dir):
     )
 
     out = semantic_dedup(
-        _emb(spark, sf_dir),
+        _emb_par(spark, sf_dir),
         id_col="vec_id",
         vec_col="embedding",
         threshold=_NEAR_DUP_COS,

@@ -17,6 +17,23 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_par(spark, sf_dir):
+    """documents, spread across the default parallelism: the testdata
+    table is ONE single-row-group parquet file, so the whole scan is
+    ONE split (maxPartitionBytes cannot split inside a row group) and
+    every map-heavy stage (md5-per-shingle signatures, gram builds,
+    BPE merges) serializes on one core until its first exchange. One
+    tiny round-robin shuffle of the 5k-doc relation buys 32x map
+    parallelism; at real scale the input has >= cores partitions and
+    this becomes a no-op-sized rebalance of file-split metadata.
+    Used by every query whose dominant cost is per-doc map work
+    (round 7 — previously only the substring-dedup family did this).
+    """
+    return _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 _STOPWORDS = ta.DEFAULT_STOPWORDS
 _SW_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
 _N_SHINGLE = 3
@@ -52,7 +69,7 @@ def doc_token_count_bpe_merged(spark, sf_dir):
     cross-pinned by tests/test_bpe_merges.py parity against an
     independent rank-order reference implementation. The pre-merge
     proxy (``doc_token_count_bpe``) stays the map-only fast path."""
-    return _docs(spark, sf_dir).select(
+    return _docs_par(spark, sf_dir).select(
         "doc_id",
         ta.bpe_token_count().alias("n_tokens_pre"),
         ta.merged_bpe_token_count_udf()(F.col("text")).alias(
@@ -99,7 +116,7 @@ def doc_winnow_fingerprints(spark, sf_dir):
     """Winnowing (MOSS) rolling-hash fingerprints: one row per
     (doc_id, distinct window-min k-gram hash). Map-only codegen +
     bounded explode (~tokens/w rows per doc)."""
-    return _docs(spark, sf_dir).select(
+    return _docs_par(spark, sf_dir).select(
         "doc_id",
         F.explode(ta.winnow_fingerprints("text", k=3, w=4)).alias("fp"),
     )
@@ -113,7 +130,7 @@ def doc_dedup_exact(spark, sf_dir):
 
 def doc_minhash_signature(spark, sf_dir):
     return ta.with_minhash(
-        _docs(spark, sf_dir), n_hashes=len(_SEEDS), n=_N_SHINGLE
+        _docs_par(spark, sf_dir), n_hashes=len(_SEEDS), n=_N_SHINGLE
     ).select("doc_id", *[f"minhash_{i}" for i in range(len(_SEEDS))])
 
 
@@ -146,7 +163,8 @@ _MINHASH_SQL = """
 def doc_lsh_near_dup_pairs(spark, sf_dir):
     return (
         ta.lsh_candidate_pairs(
-            _docs(spark, sf_dir), id_col="doc_id", seeds=_SEEDS, n=_N_SHINGLE
+            _docs_par(spark, sf_dir), id_col="doc_id", seeds=_SEEDS,
+            n=_N_SHINGLE,
         )
         .withColumnRenamed("id_a", "doc_a")
         .withColumnRenamed("id_b", "doc_b")
@@ -154,7 +172,9 @@ def doc_lsh_near_dup_pairs(spark, sf_dir):
 
 
 def doc_simhash(spark, sf_dir):
-    return _docs(spark, sf_dir).select("doc_id", ta.simhash16().alias("simhash"))
+    return _docs_par(spark, sf_dir).select(
+        "doc_id", ta.simhash16().alias("simhash")
+    )
 
 
 _SIMHASH_SQL = (
@@ -174,7 +194,7 @@ def _dup_edges(spark, sf_dir):
     star edges (min-id -> other ids per identical fingerprint, same
     components as all-pairs at linear edge count) UNION the verified
     near-dup pairs (banded LSH -> exact Jaccard)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     fp = docs.select("doc_id", ta.fingerprint().alias("fp"))
     # min-per-fp via hash agg (map-side partial) + equi-join — NOT a
     # Window over fp partitions: a boilerplate text owning 5% of the
@@ -231,7 +251,7 @@ def doc_near_dup_verified(spark, sf_dir):
     tests/test_plan_shape.py)."""
     return (
         ta.lsh_verified_near_dups(
-            _docs(spark, sf_dir),
+            _docs_par(spark, sf_dir),
             id_col="doc_id",
             seeds=_SEEDS,
             n=_N_SHINGLE,
@@ -272,7 +292,15 @@ def doc_stream_near_dup_verified(spark, sf_dir):
         os.path.abspath(f"{sf_dir}/documents.parquet"),
         f"{src}/documents.parquet",
     )
-    stream = spark.readStream.schema(docs.schema).parquet(src)
+    # spread the single-file micro-batch before the signature map
+    # stage (the md5-per-shingle pass otherwise runs on ONE task; the
+    # round-robin exchange moves raw text once, same rationale as
+    # _docs_par) — the stateful groupBy re-shuffles by band anyway
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .parquet(src)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ck = tempfile.mkdtemp(prefix="ndsv_ck_")
     name = f"ndsv_{ck.rsplit('_', 1)[-1]}"
     q = (
@@ -290,7 +318,7 @@ def doc_stream_near_dup_verified(spark, sf_dir):
     # endpoints (round-6, VERDICT r5 #6) instead of once per branch
     return verify_flags(
         flags,
-        sets=corpus_shingle_sets(docs),
+        sets=corpus_shingle_sets(_docs_par(spark, sf_dir)),
         threshold_num=3,
         threshold_den=10,
     )
@@ -399,7 +427,7 @@ def doc_chunk_tokens(spark, sf_dir):
     """Training-sample chunking: fixed 32-token windows, 8-token
     overlap, ≥1 chunk per doc, short tail allowed."""
     return ta.chunk_tokens(
-        _docs(spark, sf_dir), chunk_size=_CHUNK, overlap=_OVERLAP
+        _docs_par(spark, sf_dir), chunk_size=_CHUNK, overlap=_OVERLAP
     )
 
 
@@ -414,7 +442,7 @@ def doc_top_terms(spark, sf_dir):
     hash aggs."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir)
+    d = _docs_par(spark, sf_dir)
     terms = d.select(
         "doc_id", F.explode(ta.words_col()).alias("term")
     ).filter(F.length("term") >= 3)
@@ -967,19 +995,6 @@ ORACLES["doc_token_count_bpe_merged"] = _bpe_merged_oracle_sql()
 from debezium_connector_ibmi_spark.operators import substring_dedup as sd
 
 _SPAN_K = 8
-
-
-def _docs_par(spark, sf_dir):
-    """documents, spread across the default parallelism: the testdata
-    table is ONE single-row-group parquet file, so the 128MB scan
-    split leaves the whole gram-build map stage on one core
-    (maxPartitionBytes cannot split inside a row group). One tiny
-    round-robin shuffle of the 5k-doc relation buys 32x map
-    parallelism; at real scale the input has >= cores partitions and
-    the repartition collapses to a cheap rebalance."""
-    return _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
 
 
 def doc_dup_spans(spark, sf_dir):

@@ -828,15 +828,40 @@ class KeyBucketedTarget:
             else:
                 combined = batch_side
 
+        # winner per key via max_by hash agg, not a rank window: both
+        # sides are unique per key (state is resolved, the batch is
+        # pre-compacted), so each key holds <= 2 rows and the agg is
+        # deterministic — ties on (receiver_idx, seq) break to the
+        # batch via __src, exactly the window's ordering. The hash
+        # agg does map-side partial combine and never sorts; the
+        # former row_number window sorted the full-payload union of
+        # state + batch on every merge (round 7; window kept behind
+        # SPARK_GRAFT_MERGE_WINNER=window for A/B).
         w = F.struct(F.col("receiver_idx"), F.col("seq"), F.col("__src"))
-        from pyspark.sql import Window
+        if os.environ.get("SPARK_GRAFT_MERGE_WINNER", "agg") == "window":
+            from pyspark.sql import Window
 
-        win = Window.partitionBy(self.key).orderBy(w.desc())
-        winner = (
-            combined.withColumn("__rn", F.row_number().over(win))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "__src")
-        )
+            win = Window.partitionBy(self.key).orderBy(w.desc())
+            winner = (
+                combined.withColumn("__rn", F.row_number().over(win))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__src")
+            )
+        else:
+            val_cols = [c for c in combined.columns if c != self.key]
+            winner = (
+                combined.groupBy(self.key)
+                .agg(
+                    F.max_by(
+                        F.struct(*[F.col(c) for c in val_cols]), w
+                    ).alias("__w")
+                )
+                .select(
+                    self.key,
+                    *[F.col(f"__w.{c}").alias(c) for c in val_cols],
+                )
+                .drop("__src")
+            )
         if self.delete_mode == "drop":
             new_rows = winner.filter(F.col("op") != "d").drop("op")
         else:
