@@ -33,6 +33,45 @@ if "SPARK_GRAFT_LOCAL_DIR" not in os.environ and os.path.isdir("/dev/shm"):
 
 MATERIALIZE_FULL = {"doc_substring_dedup"}
 
+# Calibration anchor (round 7, VERDICT r6 #6): a FROZEN pure-CPU
+# query — 64M rows through a fixed xxhash64->md5-prefix chain and one
+# global agg, no input IO, shape-independent of the engine code under
+# test. Its wall time measures the host (CPU + scheduler noise), so
+# BENCH-to-BENCH comparisons can be drift-normalized:
+#   normalized_sec = raw_sec * (CAL_REFERENCE_SEC / calibration_sec).
+# CAL_REFERENCE_SEC pins the anchor's cost on the round-7 measurement
+# host at quiet load; the constant only matters for cross-round
+# ratios, not within-run comparisons. bench.py is frozen for
+# measurement, so the anchor lives here — run `python bench_extra.py
+# cal` next to any bench.py run and record both numbers.
+CAL_ROWS = 64_000_000
+CAL_REFERENCE_SEC = None  # filled from the first recorded quiet run
+
+
+def calibrate(spark, repeats: int = 3) -> float:
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(repeats):
+        spark.sparkContext.setJobDescription("calibration anchor")
+        t0 = time.time()
+        (
+            spark.range(CAL_ROWS)
+            .select(
+                F.conv(
+                    F.substring(
+                        F.md5(F.xxhash64("id").cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long").alias("h")
+            )
+            .agg(F.sum("h"))
+            .collect()
+        )
+        best = min(best, time.time() - t0)
+    return best
+
 
 def main():
     from debezium_connector_ibmi_spark.queries import all_queries
@@ -48,6 +87,9 @@ def main():
     spark.range(1000).select(F.sum("id")).collect()
     qs = all_queries()
 
+    if mode == "cal":
+        print(f"calibration_sec: {calibrate(spark):.3f}", flush=True)
+        return
     if mode == "apply":
         run_apply(spark, names[0] if names else "cow")
         return

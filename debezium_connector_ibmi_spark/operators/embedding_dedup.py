@@ -63,8 +63,13 @@ def sign_code(vec: Column, n_bits: int) -> Column:
     assert 1 <= n_bits <= 62
     out = F.lit(0).cast("long")
     for i in range(n_bits):
+        # try_element_at: a short vector's missing dims read as null
+        # -> 0-bits here, and assign_bounded_cells' min-length guard
+        # (riding the counts agg) rejects the corpus with a clear
+        # error instead of ANSI element_at's opaque one (round-7
+        # ADVICE)
         out = out + F.when(
-            F.element_at(vec, i + 1) >= 0, F.lit(1 << i)
+            F.try_element_at(vec, F.lit(i + 1)) >= 0, F.lit(1 << i)
         ).otherwise(F.lit(0)).cast("long")
     return out.cast("long")
 
@@ -111,11 +116,28 @@ def assign_bounded_cells(
     )
     e = df.withColumn("__code", sign_code(F.col(vec_col), levels[-1]))
     # bounded driver-side metadata: <= 2**levels[-1] rows no matter
-    # the corpus size (map-side partial agg, tiny exchange)
-    counts = [
-        (r["__code"], r["n"])
-        for r in e.groupBy("__code").agg(F.count(F.lit(1)).alias("n")).collect()
-    ]
+    # the corpus size (map-side partial agg, tiny exchange). The min
+    # vector length rides the same agg (zero extra jobs): a vector
+    # shorter than the finest sign-plane count would null-compare its
+    # missing dims to 0-bits and silently merge into the wrong cells
+    # (round-7 ADVICE fix) — fail loudly instead.
+    rows = (
+        e.groupBy("__code")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.size(F.col(vec_col))).alias("_minlen"),
+        )
+        .collect()
+    )
+    min_len = min((r["_minlen"] for r in rows), default=levels[-1])
+    if rows and min_len < levels[-1]:
+        raise ValueError(
+            f"assign_bounded_cells: corpus contains a vector of length "
+            f"{min_len} < {levels[-1]} sign planes — short vectors "
+            f"would silently merge into wrong cells (missing dims read "
+            f"as 0-bits). Pad or filter them first"
+        )
+    counts = [(r["__code"], r["n"]) for r in rows]
     mapping, worst = _effective_cells(counts, levels, cap)
     if worst > max_cell_population:
         raise ValueError(

@@ -206,7 +206,7 @@ def verify_flags(
     n: int = 3,
     threshold_num: int = 3,
     threshold_den: int = 10,
-    unverified_col: str | None = None,
+    verified_col: str | None = None,
     sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of near-dup flags against the corpus
@@ -225,13 +225,17 @@ def verify_flags(
     (``dropDuplicates`` per batch inside ``foreachBatch``); integer
     threshold: keep pairs with jaccard >= num/den.
 
-    ``unverified_col``: by default (None) the joins are inner — a flag
+    ``verified_col``: by default (None) the joins are inner — a flag
     whose endpoint text is not in the corpus snapshot is DROPPED. With
-    a column name, the joins are left outer and such flags are kept
-    with that boolean column = false (inter/na/nb null) so a
-    continuous pipeline never silently loses candidate edges whose
-    texts arrive after the corpus was read; verified-but-below-
-    threshold pairs are still dropped (they are confirmed non-dups).
+    a column name, the joins are left outer and the output carries
+    that boolean column holding True when both endpoints were found
+    and verified (the round-6 parameter was named ``unverified_col``
+    while storing the *verified* polarity — renamed per round-7
+    ADVICE; behavior unchanged): unmatched flags are kept with the
+    column = false (inter/na/nb null) so a continuous pipeline never
+    silently loses candidate edges whose texts arrive after the
+    corpus was read; verified-but-below-threshold pairs are still
+    dropped (they are confirmed non-dups).
 
     ``sets``: a precomputed :func:`corpus_shingle_sets` relation —
     pass it (persisted) for multi-batch runs so the corpus is
@@ -244,7 +248,7 @@ def verify_flags(
         )
     pa = sets.select(F.col(id_col).alias("doc_id"), F.col("sh").alias("sha"))
     pb = sets.select(F.col(id_col).alias("dup_of"), F.col("sh").alias("shb"))
-    how = "inner" if unverified_col is None else "left"
+    how = "inner" if verified_col is None else "left"
     scored = (
         flags.select("doc_id", "dup_of")
         .join(pa, "doc_id", how)
@@ -260,11 +264,11 @@ def verify_flags(
     passed = threshold_den * F.col("inter") >= threshold_num * (
         F.col("na") + F.col("nb") - F.col("inter")
     )
-    if unverified_col is None:
+    if verified_col is None:
         return scored.filter(passed)
     verified = F.col("na").isNotNull() & F.col("nb").isNotNull()
     return scored.filter(~verified | passed).withColumn(
-        unverified_col, verified
+        verified_col, verified
     )
 
 

@@ -258,7 +258,7 @@ def main(argv=None):
                         else spark.read.parquet(args.verify_corpus)
                     ),
                     sets=sets,
-                    unverified_col="verified",
+                    verified_col="verified",
                 ).write.mode("append").parquet(args.flags_out)
 
             writer = flags.writeStream.outputMode("append").foreachBatch(

@@ -3,7 +3,7 @@
 1. null doc_id / null text must not reach the stateful dedup core
    (int(NaN) would kill the query; null-text md5 would cross-flag all
    null docs as mutual exact dups).
-2. verify_flags(unverified_col=...) keeps candidate edges whose
+2. verify_flags(verified_col=...) keeps candidate edges whose
    endpoint text is missing from the corpus snapshot (verified=false)
    instead of silently dropping them; confirmed non-dups stay dropped.
 3. the BPE merged-token DuckDB oracle is exact against the
@@ -115,7 +115,7 @@ def test_verify_flags_keeps_unverified_edges(spark):
     # default: inner joins — the unverifiable edge is dropped
     strict = verify_flags(flags, corpus).select("doc_id", "dup_of").collect()
     assert {(r["doc_id"], r["dup_of"]) for r in strict} == {(2, 1)}
-    kept = verify_flags(flags, corpus, unverified_col="verified").collect()
+    kept = verify_flags(flags, corpus, verified_col="verified").collect()
     got = {(r["doc_id"], r["dup_of"]): r["verified"] for r in kept}
     # verified dup kept true; missing endpoint kept false; the
     # verified NON-dup (3,1) is dropped — it is a confirmed negative

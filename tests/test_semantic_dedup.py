@@ -123,3 +123,20 @@ def test_matches_unbounded_semantics_when_cap_not_hit(spark):
             if cos(va, vb) >= 0.99:
                 dropped.add(ib)
     assert out == sorted(i for i, _ in rows if i not in dropped)
+
+
+def test_short_vector_fails_loudly(spark):
+    """Round-7 ADVICE: a vector shorter than the finest sign-plane
+    count must raise (its missing dims would read as 0-bits and merge
+    it into the wrong cells silently)."""
+    import pytest
+
+    from debezium_connector_ibmi_spark.operators.embedding_dedup import (
+        assign_bounded_cells,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 16), (2, [1.0] * 4)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="sign planes"):
+        assign_bounded_cells(df)
