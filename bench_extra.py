@@ -45,7 +45,11 @@ MATERIALIZE_FULL = {"doc_substring_dedup"}
 # measurement, so the anchor lives here — run `python bench_extra.py
 # cal` next to any bench.py run and record both numbers.
 CAL_ROWS = 64_000_000
-CAL_REFERENCE_SEC = None  # filled from the first recorded quiet run
+# round-7 quiet-host anchor (load < 2, no co-tenant): 1.647s. The
+# same anchor measured 2.695s under load-8 co-tenant noise — a 1.64x
+# drift on PURE CPU, which is exactly the adjudication gap VERDICT r6
+# flagged between BENCH_r05 and BENCH_r06.
+CAL_REFERENCE_SEC = 1.647
 
 
 def calibrate(spark, repeats: int = 3) -> float:

@@ -125,7 +125,7 @@ def doc_chunk_dedup(spark, sf_dir):
     20-token windows): per doc, how many chunks survive global
     first-occurrence dedup."""
     return co.chunk_dedup_stats(
-        _docs_par(spark, sf_dir), chunk_size=_CD_CHUNK, overlap=0
+        _docs(spark, sf_dir), chunk_size=_CD_CHUNK, overlap=0
     )
 
 

@@ -130,7 +130,7 @@ def doc_dedup_exact(spark, sf_dir):
 
 def doc_minhash_signature(spark, sf_dir):
     return ta.with_minhash(
-        _docs_par(spark, sf_dir), n_hashes=len(_SEEDS), n=_N_SHINGLE
+        _docs(spark, sf_dir), n_hashes=len(_SEEDS), n=_N_SHINGLE
     ).select("doc_id", *[f"minhash_{i}" for i in range(len(_SEEDS))])
 
 
@@ -172,7 +172,7 @@ def doc_lsh_near_dup_pairs(spark, sf_dir):
 
 
 def doc_simhash(spark, sf_dir):
-    return _docs_par(spark, sf_dir).select(
+    return _docs(spark, sf_dir).select(
         "doc_id", ta.simhash16().alias("simhash")
     )
 
@@ -427,7 +427,7 @@ def doc_chunk_tokens(spark, sf_dir):
     """Training-sample chunking: fixed 32-token windows, 8-token
     overlap, ≥1 chunk per doc, short tail allowed."""
     return ta.chunk_tokens(
-        _docs_par(spark, sf_dir), chunk_size=_CHUNK, overlap=_OVERLAP
+        _docs(spark, sf_dir), chunk_size=_CHUNK, overlap=_OVERLAP
     )
 
 
@@ -442,7 +442,7 @@ def doc_top_terms(spark, sf_dir):
     hash aggs."""
     from pyspark.sql import Window
 
-    d = _docs_par(spark, sf_dir)
+    d = _docs(spark, sf_dir)
     terms = d.select(
         "doc_id", F.explode(ta.words_col()).alias("term")
     ).filter(F.length("term") >= 3)

@@ -80,6 +80,62 @@ def make_corpus(spark, hot: bool):
     return base.select("doc_id", text.alias("text")).repartition(CPUS)
 
 
+def legacy_window_dup_spans(corpus, k=8):
+    """The round-6 shape, reconstructed for the A/B: count/min over a
+    gram-partitioned WINDOW — every site of the hot gram ships to one
+    WindowExec task and is buffered there."""
+    from pyspark.sql import Window
+
+    sites = sd.window_sites(corpus, k)
+    w = Window.partitionBy("gram")
+    first = F.min(F.struct("doc_id", "pos")).over(w)
+    dup = (
+        sites.select(
+            "doc_id",
+            "pos",
+            F.count("*").over(w).alias("n_sites"),
+            (
+                (F.col("doc_id") == first["doc_id"])
+                & (F.col("pos") == first["pos"])
+            ).alias("is_first_site"),
+        )
+        .where(F.col("n_sites") >= 2)
+    )
+    return sd._merge_spans(dup, k).select(
+        "doc_id", "span_start", "span_end", "n_windows"
+    )
+
+
+def make_superhot(spark):
+    """The asymptotic hazard corpus, scaled down: ONE exact 8-gram
+    owns ~all sites. Every doc is a unique 8-token prefix followed by
+    the single token "h" repeated, so the only corpus-wide duplicated
+    gram is "h h h h h h h h" with N_DOCS x (TOKENS-15) sites — the
+    single-WindowExec-task regime a boilerplate gram creates at
+    10^8-10^9 occurrences (Lee et al.'s corpora), at 10^6-10^7 here."""
+    base = spark.range(N_DOCS).select(F.col("id").alias("doc_id"))
+    prefix = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit("p"), i)
+                ),
+                1,
+                8,
+            ),
+        ),
+        " ",
+    )
+    body = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.lit(TOKENS - 8)), lambda i: F.lit("h")),
+        " ",
+    )
+    return base.select(
+        "doc_id", F.concat(prefix, F.lit(" "), body).alias("text")
+    ).repartition(CPUS)
+
+
 def main():
     spark = get_spark(
         app_name="substring-skew", cores=CPUS, shuffle_partitions=CPUS
@@ -89,19 +145,29 @@ def main():
         ("control", False, "broadcast"),
         ("hot5pct", True, "broadcast"),
         ("hot5pct-shuffle", True, "shuffle"),
+        ("hot5pct-window-legacy", True, "window"),
+        ("superhot", "super", "broadcast"),
+        ("superhot-shuffle", "super", "shuffle"),
+        ("superhot-window-legacy", "super", "window"),
     ):
-        corpus = make_corpus(spark, hot)
+        corpus = (
+            make_superhot(spark) if hot == "super" else make_corpus(spark, hot)
+        )
         # site accounting for the header line
         sites = sd.window_sites(corpus, k=8)
         n_sites = sites.count()
-        n_hot = sites.where(F.col("gram") == HOT_BLOCK).count() if hot else 0
+        hot_gram = " ".join(["h"] * 8) if hot == "super" else HOT_BLOCK
+        n_hot = sites.where(F.col("gram") == hot_gram).count() if hot else 0
         spark.sparkContext.setJobDescription(f"sskew/{label}")
         t0 = time.time()
-        n_spans = sd.dup_spans(
-            corpus, k=8
-        ) if stats_join == "broadcast" else sd._merge_spans(
-            sd.dup_window_sites(corpus, k=8, stats_join="shuffle"), 8
-        ).select("doc_id", "span_start", "span_end", "n_windows")
+        if stats_join == "window":
+            n_spans = legacy_window_dup_spans(corpus, 8)
+        elif stats_join == "broadcast":
+            n_spans = sd.dup_spans(corpus, k=8)
+        else:
+            n_spans = sd._merge_spans(
+                sd.dup_window_sites(corpus, k=8, stats_join="shuffle"), 8
+            ).select("doc_id", "span_start", "span_end", "n_windows")
         n = n_spans.count()
         wall = time.time() - t0
         print(
