@@ -129,8 +129,10 @@ def emb_ann_lsh_bucket(spark, sf_dir):
         _norm(F.col("embedding")).alias("cn"),
         "bucket",
     )
+    # broadcast the bounded query side (guide §3): the bucket join is
+    # then map-side over the candidate corpus — no exchange/sort of c
     scored = (
-        q.join(c, "bucket")
+        F.broadcast(q).join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -320,8 +322,13 @@ def emb_ivf_topk(spark, sf_dir):
         _norm(F.col("embedding")).alias("cn"),
         "cell",
     )
+    # the query side is structurally bounded (_N_QUERIES rows) while
+    # the candidate side is the corpus: broadcast the queries so the
+    # cell join is map-side over the candidates (guide §3) — the
+    # unhinted join sort-merge-joined on cell, exchanging + sorting
+    # the full candidate relation for a handful of query rows
     scored = (
-        q.join(c, "cell")
+        F.broadcast(q).join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -364,8 +371,10 @@ def emb_ivf_topk_nprobe2(spark, sf_dir):
         _norm(F.col("embedding")).alias("cn"),
         "cell",
     )
+    # broadcast the bounded query side — same rationale as
+    # emb_ivf_topk (the nprobe=2 explode doubles q, still tiny)
     scored = (
-        q.join(c, "cell")
+        F.broadcast(q).join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -419,8 +428,9 @@ def emb_ivf_topk_kmeans(spark, sf_dir, k=8, max_iter=5, top_k=3):
         _norm(F.col("embedding")).alias("cn"),
         "cell",
     )
+    # broadcast the bounded query side — same rationale as emb_ivf_topk
     scored = (
-        q.join(c, "cell")
+        F.broadcast(q).join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
