@@ -45,81 +45,83 @@ _MODULES = (
 DRIVER_VERIFY_CAP = 50
 
 # names that must land inside the first DRIVER_VERIFY_CAP positions
-# this round, in verification order (see module docstring). Round-6
-# rotation: (a) queries new in or changed by round-6 code, (b) the 27
-# queries whose latest green row is r04 (rotated out by round 5 —
-# they MUST refresh this round to keep the "nothing verified by a
-# file older than the previous round" invariant), (c) the flagship
-# CDC set (re-verified every round by policy), (d) the heaviest
-# bench-headline ops filling the cap. Everything after position 50 is
-# code-unchanged and r05-green.
+# this round, in verification order (see module docstring). Round-7
+# rotation: (a) the 23 queries whose DataFrame builders were rewritten
+# by the round-7 optimizations (results oracle-pinned identical, but
+# each needs a fresh driver row over the NEW plan shape), (b) the 18
+# further queries whose latest green row is r05 (rotated out by the
+# round-6 cap — they MUST refresh this round to keep the "nothing
+# verified by a file older than the previous round" invariant),
+# (c) the 9 remaining slots go to the flagship CDC set — the policy
+# of re-verifying all 15 every round yields 6 slots this round to (a)
+# ∪(b), which exactly fills 41; the 6 CDC queries left outside the
+# cap (cdc_filter_include, cdc_op_type_map, cdc_resume_predicate,
+# cdc_last_per_key, cdc_snapshot_handover, cdc_quarantine_rows) are
+# code-unchanged and r06-green, so the invariant holds for them.
 _VERIFY_FIRST = [
-    # (a) new/changed in round 6: population-bounded SemDeDup rewrite
-    # (new cell semantics + new oracle), BPE merged count (first-ever
-    # driver oracle: recursive-CTE bpe() replay), streaming dedup
-    # queries (null filtering + await_available_now drain contract),
-    # exact substring dedup (NEW operator family this round —
-    # operators/substring_dedup.py)
-    "emb_semantic_dedup",
-    "doc_token_count_bpe_merged",
-    "doc_stream_near_dup_verified",
-    "doc_stream_exact_dup",
-    "emb_stream_semantic_flags",
+    # (a) round-7 optimization rewrites: substring-dedup de-skew
+    # (map-side gram stats + broadcast join-back, span-struct removal),
     "doc_dup_spans",
     "doc_dup_spans_incremental",
     "doc_substring_dedup",
-    # (b) last green row is r04: corpus ops
-    "doc_pii_scrub",
-    "doc_sample_stratified",
-    "doc_length_histogram",
-    "doc_chunk_dedup",
-    "doc_split_assign",
-    "doc_repetition_ratio",
-    "doc_url_normalize",
-    # (b) last green row is r04: multimodal
-    "mm_image_meta",
-    "mm_audio_features",
-    "mm_frame_sample",
-    # (b) last green row is r04: text analysis
-    "doc_scrub_control_chars",
-    "doc_chunk_tokens",
+    # (a) minhash/LSH family: candidate localCheckpoint + broadcast
+    # semi-join pruning + single-row-group scan spread,
+    "doc_minhash_signature",
+    "doc_lsh_near_dup_pairs",
+    "doc_simhash",
+    "doc_near_dup_verified",
+    "doc_dup_clusters",
+    "doc_dedup_keep_best",
+    "doc_stream_near_dup_verified",
+    # (a) textops/corpusops: tf-derived document frequency, scan
+    # spread, merged-BPE batch path,
     "doc_top_terms",
-    "doc_quality_percentiles",
-    "doc_token_count",
-    "doc_token_count_bpe",
-    "doc_quality_score",
-    "doc_lang_id",
-    "doc_fingerprint",
+    "doc_chunk_tokens",
+    "doc_chunk_dedup",
     "doc_winnow_fingerprints",
-    "doc_ngram_jaccard_pairs",
-    # (b) last green row is r04: functions + cdc planning
-    "fn_century_decode",
-    "fn_charset_decode",
-    "fn_bigint_from_text",
-    "fn_default_coalesce",
-    "cdc_usable_chain",
-    "cdc_plan_ranges",
-    # (c) flagship CDC set (every round)
-    "cdc_last_per_key_salted",
-    "cdc_state_diff",
-    "cdc_filter_include",
-    "cdc_op_type_map",
-    "cdc_resume_predicate",
-    "cdc_last_per_key",
-    "cdc_pair_before_after",
-    "cdc_txn_group",
-    "cdc_journal_lag",
-    "cdc_event_counters",
-    "cdc_envelope_flat",
-    "cdc_snapshot_handover",
-    "cdc_quarantine_rows",
+    "doc_token_count_bpe_merged",
+    # (a) embedding/ANN family: hoisted norms, map-only nprobe=1 IVF
+    # assignment, query-side broadcast joins, semantic-dedup
+    # localCheckpoint
+    "emb_knn_brute_force",
+    "emb_ann_lsh_bucket",
+    "emb_cosine_near_dup_pairs",
+    "emb_ivf_topk",
+    "emb_ivf_topk_nprobe2",
+    "emb_ivf_kmeans_recall",
+    "emb_semantic_dedup",
+    "emb_stream_semantic_flags",
+    # (b) last green row is r05, code-unchanged: relational
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_topk_per_brand",
+    "rel_customers_without_orders",
+    "rel_suppliers_in_asia",
+    "rel_rollup_status",
+    "rel_pivot_returnflag",
+    # (b) last green row is r05: embeddings / corpus / multimodal
+    "emb_scalar_quantize",
+    "doc_decontaminate",
+    "doc_dedup_exact",
+    "mm_image_resize",
+    # (b) last green row is r05: functions + cdc misc
+    "fn_pad_trim",
+    "fn_object_split",
+    "fn_xa_decode",
+    "fn_header_roundtrip",
+    "cdc_null_mask",
+    "cdc_session_count",
+    "cdc_journal_for_table",
+    # (c) flagship CDC set, bench-headline queries first (9 slots)
     "cdc_changelog_materialize",
+    "cdc_last_per_key_salted",
+    "cdc_envelope_flat",
+    "cdc_txn_group",
     "cdc_state_dedup",
-    # (d) slots freed for the new substring-dedup family: the three
-    # bench-headline fillers (doc_near_dup_verified,
-    # doc_lsh_near_dup_pairs, doc_dup_clusters) move past the cap —
-    # code-unchanged and r05-green, so the "nothing verified by a
-    # file older than the previous round" invariant holds.
+    "cdc_state_diff",
+    "cdc_pair_before_after",
+    "cdc_event_counters",
+    "cdc_journal_lag",
 ]
 
 

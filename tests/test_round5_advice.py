@@ -132,24 +132,41 @@ def test_registry_priority_list_is_exact_cap():
     ]
 
 
-def test_registry_round6_changed_queries_inside_cap():
+def test_registry_round7_changed_queries_inside_cap():
     from debezium_connector_ibmi_spark.queries import _VERIFY_FIRST
 
-    round6_new_or_changed = {
-        # population-bounded SemDeDup rewrite (new semantics + oracle)
-        "emb_semantic_dedup",
-        # first-ever driver oracle (recursive-CTE bpe() replay)
-        "doc_token_count_bpe_merged",
-        # streaming dedup queries: null filtering + drain contract
-        "doc_stream_near_dup_verified",
-        "doc_stream_exact_dup",
-        "emb_stream_semantic_flags",
-        # exact substring dedup (new operator family this round)
+    round7_changed = {
+        # substring-dedup de-skew rewrite
         "doc_dup_spans",
         "doc_dup_spans_incremental",
         "doc_substring_dedup",
+        # minhash/LSH family (checkpointed candidates, semi-join
+        # pruning, scan spread)
+        "doc_minhash_signature",
+        "doc_lsh_near_dup_pairs",
+        "doc_simhash",
+        "doc_near_dup_verified",
+        "doc_dup_clusters",
+        "doc_dedup_keep_best",
+        "doc_stream_near_dup_verified",
+        # textops/corpusops
+        "doc_top_terms",
+        "doc_chunk_tokens",
+        "doc_chunk_dedup",
+        "doc_winnow_fingerprints",
+        "doc_token_count_bpe_merged",
+        # embedding/ANN family (hoisted norms, map-only IVF assign,
+        # broadcast query side)
+        "emb_knn_brute_force",
+        "emb_ann_lsh_bucket",
+        "emb_cosine_near_dup_pairs",
+        "emb_ivf_topk",
+        "emb_ivf_topk_nprobe2",
+        "emb_ivf_kmeans_recall",
+        "emb_semantic_dedup",
+        "emb_stream_semantic_flags",
     }
-    outside = round6_new_or_changed - set(_VERIFY_FIRST)
+    outside = round7_changed - set(_VERIFY_FIRST)
     assert not outside, f"changed queries outside the driver cap: {outside}"
 
 
@@ -165,7 +182,7 @@ def test_registry_rotation_freshness_invariant():
         all_queries,
     )
 
-    prev = json.load(open("/root/repo/CORRECTNESS_r05.json"))
+    prev = json.load(open("/root/repo/CORRECTNESS_r06.json"))
     green_prev = {
         k
         for k, v in prev.items()
